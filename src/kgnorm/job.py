@@ -1,0 +1,143 @@
+"""End-to-end pipeline orchestration (the spark-submit entry point).
+
+One Spark job replaces the reference's API→Redis→RQ-worker→Postgres
+round-trip loop (jobs/document_processing.py:92-310, SURVEY §3.1)::
+
+    read transcripts
+      → extract   (repartition(conv_id) + broadcast-AC Arrow UDF)
+      → link      (broadcast dictionary direct path + tiered cascade)
+      → facts     (5-part-key noisy-OR hash agg)
+      → canon     (optional: Maps-to closure via hash-min CC)
+      → graph     (nodes/edges/triples, deterministic ids)
+      → metrics   (per-partition lineage rows)
+
+Each stage checkpoints through a StageStore; ``--resume`` skips stages
+whose outputs already exist.  Run it on a cluster as::
+
+    spark-submit --py-files kgnorm.zip -m kgnorm.job \
+        --input <transcripts path/table> --output <warehouse dir> [--resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kgnorm import canon, extract, facts as facts_mod, graph, link, metrics, ontology, synth
+from kgnorm.checkpoints import StageStore
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    store: StageStore | None = None,
+    resume: bool = False,
+    canonicalize: bool = False,
+    num_partitions: int | None = None,
+    data_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Run extract→link→facts→graph; returns every stage DataFrame.
+
+    With a ``store``, stages checkpoint and (with ``resume=True``) skip
+    recomputation.  ``canonicalize`` adds the CC-based alias-merged fact
+    and triple outputs alongside the parity (reference-faithful) ones.
+    """
+    ont = ontology.load_fixture_ontology(data_dir)
+    dictionary = ontology.broadcast_dictionary(spark, ont)
+    concepts = ontology.concepts_df(spark, ont)
+    synonyms = ontology.synonyms_df(spark, ont)
+
+    def checkpointed(name: str, compute, partition_by=None) -> DataFrame:
+        if store is None:
+            return compute()
+        return store.get_or_compute(spark, name, compute, resume=resume, partition_by=partition_by)
+
+    mentions = checkpointed(
+        "mentions", lambda: extract.extract_mentions_df(transcripts, dictionary, num_partitions)
+    )
+    candidates = checkpointed("candidates", lambda: link.link_mentions(mentions, concepts, synonyms))
+    top = link.top_candidates(candidates)
+    facts = checkpointed(
+        "facts", lambda: facts_mod.build_facts(facts_mod.mention_facts_input(mentions, top))
+    )
+    nodes = checkpointed("nodes", lambda: graph.build_nodes(facts))
+    edges = checkpointed("edges", lambda: graph.build_edges(facts))
+    triples = checkpointed("triples", lambda: graph.build_triples(facts))
+
+    out = {
+        "mentions": mentions,
+        "candidates": candidates,
+        "facts": facts,
+        "nodes": nodes,
+        "edges": edges,
+        "triples": triples,
+    }
+
+    if canonicalize:
+        relationships = ontology.relationships_df(spark, ont)
+        canonical_facts = checkpointed(
+            "canonical_facts", lambda: canon.canonicalize_facts(facts, relationships)
+        )
+        out["canonical_facts"] = canonical_facts
+        out["canonical_triples"] = checkpointed(
+            "canonical_triples", lambda: graph.build_triples(canonical_facts)
+        )
+
+    if store is not None:
+        all_metrics = (
+            metrics.stage_metrics(mentions, "mentions")
+            .unionByName(metrics.stage_metrics(facts, "facts"))
+            .unionByName(metrics.stage_metrics(triples, "triples"))
+        )
+        store.write(all_metrics, "metrics")
+        out["metrics"] = store.read(spark, "metrics")
+
+    return out
+
+
+def main() -> None:
+    from kgnorm.session import get_spark
+
+    p = argparse.ArgumentParser(description="kgnorm KG-construction pipeline")
+    p.add_argument("--input", help="transcripts parquet path (default: synthesize)")
+    p.add_argument("--synth-turns", type=int, default=10_000, help="rows to synthesize when no --input")
+    p.add_argument("--output", required=True, help="warehouse directory for stage tables")
+    p.add_argument("--resume", action="store_true", help="skip stages whose outputs exist")
+    p.add_argument("--canonicalize", action="store_true", help="also emit alias-merged outputs")
+    p.add_argument("--partitions", type=int, default=None)
+    args = p.parse_args()
+
+    spark = get_spark("kgnorm-job")
+    t0 = time.time()
+    if args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:
+        transcripts = synth.synth_transcripts(spark, args.synth_turns)
+
+    assert metrics.turn_order_check(transcripts) == 0, "duplicate (conv_id, turn_idx) keys"
+
+    store = StageStore(args.output)
+    out = run_pipeline(
+        spark, transcripts, store=store, resume=args.resume,
+        canonicalize=args.canonicalize, num_partitions=args.partitions,
+    )
+
+    violations = metrics.mention_span_check(transcripts, out["mentions"])
+    n_turns = transcripts.count()
+    n_triples = out["triples"].count()
+    elapsed = time.time() - t0
+    print(json.dumps({
+        "turns": n_turns,
+        "triples": n_triples,
+        "span_violations": violations,
+        "sec": round(elapsed, 2),
+        "turns_per_sec": round(n_turns / elapsed, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""SparkSession construction with engine defaults.
+
+Ensures executor Python workers can import ``kgnorm`` (the package lives
+under ``src/``; in a real cluster deployment the package ships via
+``spark-submit --py-files kgnorm.zip`` — see tools/make_pyfiles.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import SparkSession
+
+SRC_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _export_pythonpath() -> None:
+    if SRC_DIR not in sys.path:
+        sys.path.insert(0, SRC_DIR)
+    existing = os.environ.get("PYTHONPATH", "")
+    if SRC_DIR not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            SRC_DIR + (os.pathsep + existing if existing else "")
+        )
+
+
+def get_spark(
+    app_name: str = "kgnorm",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build a SparkSession with the engine's recommended configuration.
+
+    Defaults are local-mode friendly; on a cluster the same conf applies
+    except ``master`` comes from spark-submit.  AQE stays on: it
+    re-coalesces small shuffle partitions and splits skewed ones at
+    runtime (the 100-TB skew story relies on it plus explicit salting in
+    kgnorm.canon).
+    """
+    _export_pythonpath()
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus) * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.executorEnv.PYTHONPATH", os.environ.get("PYTHONPATH", SRC_DIR))
+        .config("spark.driver.memory", os.environ.get("KGNORM_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

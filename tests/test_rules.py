@@ -1,0 +1,213 @@
+"""Rule semantics parity tests, ported from the reference's test strategy
+(SURVEY §5: tests/test_nlp_rule_based.py, test_synthetic_notes_nlp.py,
+test_section_parser.py, test_confidence_scoring.py)."""
+
+import pytest
+
+from kgnorm import rules
+
+
+# ---------------------------------------------------------------------------
+# assertion: closest trigger wins, tie priority uncertainty > positive > negation
+# ---------------------------------------------------------------------------
+
+def test_assertion_default_present():
+    assert rules.detect_assertion("patient is a 65-year-old male ") == rules.PRESENT
+
+
+def test_assertion_simple_negation():
+    assert rules.detect_assertion("no evidence of ") == rules.ABSENT
+    assert rules.detect_assertion("patient denies ") == rules.ABSENT
+    assert rules.detect_assertion("negative for ") == rules.ABSENT
+
+
+def test_assertion_negation_does_not_leak_across_sentence():
+    # "No chest pain. Taking metformin." — 'taking' is closer than 'no'
+    assert rules.detect_assertion("no chest pain. taking ") == rules.PRESENT
+
+
+def test_assertion_positive_overrides_earlier_negation():
+    assert rules.detect_assertion("not better but on ") == rules.PRESENT
+
+
+def test_assertion_uncertainty():
+    assert rules.detect_assertion("possible ") == rules.POSSIBLE
+    assert rules.detect_assertion("cannot rule out ") == rules.POSSIBLE
+
+
+def test_assertion_cannot_rule_out_beats_nested_negation():
+    # 'cannot rule out' embeds 'rule out'; the uncertainty trigger must win
+    # (reference: UNCERTAINTY checked with max-end and ties prefer uncertainty)
+    ctx = "we cannot rule out "
+    assert rules.detect_assertion(ctx) == rules.POSSIBLE
+
+
+def test_assertion_ruled_out_is_negation():
+    assert rules.detect_assertion("chest pain ruled out for ") == rules.ABSENT
+
+
+def test_assertion_runlikely_quirk_preserved():
+    # the reference's typo trigger \brunlikely\b (nlp_rule_based.py:148)
+    assert rules.detect_assertion("runlikely ") == rules.ABSENT
+    # and plain "unlikely" is NOT a negation trigger
+    assert rules.detect_assertion("unlikely ") == rules.PRESENT
+
+
+def test_assertion_tie_priority():
+    # equal end positions: uncertainty > positive > negation is enforced by
+    # the comparison order; craft contexts where ends coincide is awkward,
+    # so assert the documented branch order on the all -1 path instead.
+    assert rules.detect_assertion("") == rules.PRESENT
+
+
+# ---------------------------------------------------------------------------
+# temporality / experiencer (any trigger in ±window)
+# ---------------------------------------------------------------------------
+
+def test_temporality_past():
+    assert rules.detect_temporality("history of chf") == rules.PAST
+    assert rules.detect_temporality("previous myocardial infarction") == rules.PAST
+    assert rules.detect_temporality("mother had colon cancer") == rules.PAST  # 'had'
+
+
+def test_temporality_current_default():
+    assert rules.detect_temporality("presenting with cough") == rules.CURRENT
+
+
+def test_experiencer_family():
+    assert rules.detect_experiencer("family history of stroke") == rules.FAMILY
+    assert rules.detect_experiencer("mother diagnosed at age 55") == rules.FAMILY
+    assert rules.detect_experiencer("father had stroke") == rules.FAMILY
+
+
+def test_experiencer_patient_default():
+    assert rules.detect_experiencer("patient reports dysuria") == rules.PATIENT
+
+
+# ---------------------------------------------------------------------------
+# word boundary / stopword / span behavior
+# ---------------------------------------------------------------------------
+
+def test_word_boundary():
+    assert rules.is_word_boundary("a chf b", 2, 5)
+    assert not rules.is_word_boundary("achf b", 1, 4)
+    assert not rules.is_word_boundary("a chfb", 2, 5)
+    assert not rules.is_word_boundary("a_chf", 2, 5)
+    assert rules.is_word_boundary("chf.", 0, 3)  # punctuation is a boundary
+
+
+def test_normalize_text():
+    assert rules.normalize_text("  Heart   Failure, ") == "heart failure"
+    assert rules.normalize_text("(CHF)") == "chf"
+
+
+def test_jaccard():
+    assert rules.jaccard_similarity("heart failure", "congestive heart failure") == pytest.approx(2 / 3)
+    assert rules.jaccard_similarity("", "x") == 0.0
+
+
+# ---------------------------------------------------------------------------
+# sections
+# ---------------------------------------------------------------------------
+
+def test_section_parse_and_lookup():
+    text = "CHIEF COMPLAINT: chest pain\nMEDICATIONS: aspirin\nASSESSMENT: stable"
+    spans = rules.parse_sections(text)
+    assert [s for s, _, _ in spans] == ["Chief Complaint", "Medications", "Assessment"]
+    assert rules.section_at(spans, 0) == "Chief Complaint"
+    assert rules.section_at(spans, text.index("aspirin")) == "Medications"
+    assert rules.section_at(spans, len(text) - 1) == "Assessment"
+
+
+def test_section_before_first_header_is_unknown():
+    text = "preamble text\nPLAN: do things"
+    spans = rules.parse_sections(text)
+    assert rules.section_at(spans, 0) == rules.UNKNOWN_SECTION
+
+
+def test_confidence_modifier_ranges():
+    # affinity 1.0 → 1.1; 0.5 → 0.9625; unknown section → 0.5 → 0.9625; 0.0 → 0.8
+    assert rules.confidence_modifier("Medications", "Drug") == pytest.approx(1.1)
+    assert rules.confidence_modifier("Unknown", "Drug") == pytest.approx(0.9625)
+    assert rules.confidence_modifier("Medications", "Condition") == pytest.approx(0.8 + 0.3 * 0.5)
+
+
+# ---------------------------------------------------------------------------
+# confidence formula (nlp_rule_based.py:538-612)
+# ---------------------------------------------------------------------------
+
+def test_confidence_exact_case_long_term_no_section():
+    # 10+ chars, exact case, has concept, unknown section (affinity 0.5 → mod
+    # 0.9625 → section_score (0.9625-0.8)/0.3 = 0.541666...)
+    c = rules.confidence_score("hypertension", "hypertension", 316866, "Condition", "Unknown", rules.PRESENT)
+    expected = 0.4 + 0.2 * 1.0 + 0.2 * ((0.9625 - 0.8) / 0.3) + 0.1 * 1.0 + 0.1 * 1.0
+    assert c == pytest.approx(expected)
+
+
+def test_confidence_possible_penalty():
+    base = rules.confidence_score("cough", "cough", 254761, "Condition", "Unknown", rules.PRESENT)
+    poss = rules.confidence_score("cough", "cough", 254761, "Condition", "Unknown", rules.POSSIBLE)
+    assert poss == pytest.approx(base * 0.9)
+
+
+def test_confidence_case_mismatch():
+    exact = rules.confidence_score("chf", "chf", 1, "Condition", "Unknown", rules.PRESENT)
+    ci = rules.confidence_score("CHF", "chf", 1, "Condition", "Unknown", rules.PRESENT)
+    assert exact - ci == pytest.approx(0.1 * 0.2)
+
+
+# ---------------------------------------------------------------------------
+# golden notes end-to-end (pure python extraction)
+# ---------------------------------------------------------------------------
+
+def _find(mentions, needle):
+    needle = needle.lower()
+    best = None
+    for m in mentions:
+        if m.lexical_variant.lower() in needle or needle in m.lexical_variant.lower():
+            if best is None or len(m.lexical_variant) > len(best.lexical_variant):
+                best = m
+    return best
+
+
+# Where the fixture's human-labeled expectations differ from what the
+# reference ENGINE computes (its own benchmark scores P=0.6508 against
+# human labels — benchmark_report.json), parity targets the engine:
+#  - note_003 "colon cancer": no PAST trigger lands in the ±50-char window
+#    ("Family history significant for" contains neither "history of" nor
+#    "had"), so the engine says current, not past;
+#  - note_003 "GI symptoms": "mother diagnosed" sits ~47 chars before the
+#    mention, inside the ±50 surrounding window, so the engine says family.
+ENGINE_OVERRIDES = {
+    ("note_003", "colon cancer", "temporality"): "current",
+    ("note_003", "GI symptoms", "experiencer"): "family",
+}
+
+
+def test_golden_notes_expected_mentions(golden_notes, automaton):
+    missing, wrong = [], []
+    for note in golden_notes:
+        mentions = rules.extract_mentions(note["text"], automaton)
+        for exp in note["expected_mentions"]:
+            m = _find(mentions, exp["text"])
+            if m is None:
+                missing.append((note["id"], exp["text"]))
+                continue
+            for attr in ("assertion", "temporality", "experiencer"):
+                want = ENGINE_OVERRIDES.get((note["id"], exp["text"], attr), exp[attr])
+                if getattr(m, attr) != want:
+                    wrong.append((note["id"], exp["text"], attr, getattr(m, attr), want))
+    assert not missing, f"expected mentions not found: {missing}"
+    assert not wrong, f"attribute mismatches: {wrong}"
+
+
+def test_mentions_sorted_and_offsets_valid(golden_notes, automaton):
+    for note in golden_notes:
+        text = note["text"]
+        mentions = rules.extract_mentions(text, automaton)
+        starts = [m.start_offset for m in mentions]
+        assert starts == sorted(starts)
+        for m in mentions:
+            assert text[m.start_offset:m.end_offset] == m.text
+            assert m.text.lower() == m.lexical_variant.lower()
+            assert 0.0 <= m.confidence <= 1.0
