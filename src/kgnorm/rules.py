@@ -111,16 +111,66 @@ _UNC_RX = [re.compile(p, _FLAGS) for p in UNCERTAINTY_TRIGGERS]
 _PAST_RX = [re.compile(p, _FLAGS) for p in PAST_TRIGGERS]
 _FAM_RX = [re.compile(p, _FLAGS) for p in FAMILY_TRIGGERS]
 
+
+def _lookahead_union(patterns: list[str]) -> re.Pattern:
+    """Single-pass scanner equivalent to per-pattern ``finditer`` max-end.
+
+    A plain alternation is leftmost-first and CONSUMES text, so it can
+    report a shorter end for nested triggers ("no" inside "no evidence
+    of") or miss matches inside a consumed span.  Wrapping the union in a
+    zero-width lookahead ``(?=(A|B|...))`` visits EVERY start position,
+    and sorting alternatives longest-pattern-first makes the captured
+    alternative the longest match at that position — so
+    ``max(start + len(capture))`` equals the reference's per-pattern
+    max-end.  Equivalence is asserted against the naive loop in
+    tests/test_rules.py::test_fast_trigger_scan_equivalence.
+    """
+    ordered = sorted(patterns, key=len, reverse=True)
+    return re.compile(r"(?=(" + "|".join(ordered) + r"))", _FLAGS)
+
+
+_POS_FAST = None
+_NEG_FAST = None
+_UNC_FAST = None
+_PAST_ANY = None
+_FAM_ANY = None
+
+
+def _compile_fast() -> None:
+    global _POS_FAST, _NEG_FAST, _UNC_FAST, _PAST_ANY, _FAM_ANY
+    _POS_FAST = _lookahead_union(POSITIVE_TRIGGERS)
+    _NEG_FAST = _lookahead_union(NEGATION_TRIGGERS)
+    _UNC_FAST = _lookahead_union(UNCERTAINTY_TRIGGERS)
+    # presence-only categories: a plain (consuming) union has identical
+    # any-match semantics to the reference's per-pattern search loop
+    _PAST_ANY = re.compile("|".join(PAST_TRIGGERS), _FLAGS)
+    _FAM_ANY = re.compile("|".join(FAMILY_TRIGGERS), _FLAGS)
+
+
+_compile_fast()
+
 CONTEXT_WINDOW = 50  # chars (nlp_rule_based.py:417, :439)
 
 
 def _max_end(patterns: list[re.Pattern], context: str) -> int:
-    """Largest match end across patterns, -1 if none (nlp_rule_based.py:474-481)."""
+    """Largest match end across patterns, -1 if none (nlp_rule_based.py:474-481).
+
+    Reference-shaped naive loop; kept as the parity baseline for the
+    fast scanner (see _lookahead_union)."""
     best = -1
     for rx in patterns:
         for m in rx.finditer(context):
             if m.end() > best:
                 best = m.end()
+    return best
+
+
+def _max_end_fast(rx: re.Pattern, context: str) -> int:
+    best = -1
+    for m in rx.finditer(context):
+        end = m.start() + len(m.group(1))
+        if end > best:
+            best = end
     return best
 
 
@@ -130,6 +180,21 @@ def detect_assertion(preceding: str) -> str:
     Tie priority: uncertainty > positive > negation
     (nlp_rule_based.py:456-502).
     """
+    unc = _max_end_fast(_UNC_FAST, preceding)
+    pos = _max_end_fast(_POS_FAST, preceding)
+    neg = _max_end_fast(_NEG_FAST, preceding)
+    if unc == -1 and pos == -1 and neg == -1:
+        return PRESENT
+    top = max(unc, pos, neg)
+    if unc == top:
+        return POSSIBLE
+    if pos == top:
+        return PRESENT
+    return ABSENT
+
+
+def detect_assertion_naive(preceding: str) -> str:
+    """Per-pattern-loop twin of detect_assertion (parity/testing only)."""
     unc = _max_end(_UNC_RX, preceding)
     pos = _max_end(_POS_RX, preceding)
     neg = _max_end(_NEG_RX, preceding)
@@ -145,18 +210,12 @@ def detect_assertion(preceding: str) -> str:
 
 def detect_temporality(surrounding: str) -> str:
     """Any past trigger in the ±window → past (nlp_rule_based.py:504-519)."""
-    for rx in _PAST_RX:
-        if rx.search(surrounding):
-            return PAST
-    return CURRENT
+    return PAST if _PAST_ANY.search(surrounding) else CURRENT
 
 
 def detect_experiencer(surrounding: str) -> str:
     """Any family trigger in the ±window → family (nlp_rule_based.py:521-536)."""
-    for rx in _FAM_RX:
-        if rx.search(surrounding):
-            return FAMILY
-    return PATIENT
+    return FAMILY if _FAM_ANY.search(surrounding) else PATIENT
 
 
 # --------------------------------------------------------------------------
@@ -199,6 +258,10 @@ SECTION_PATTERNS: list[tuple[str, str]] = [
 ]
 
 _SECTION_RX = [(re.compile(p, re.IGNORECASE | re.MULTILINE), s) for p, s in SECTION_PATTERNS]
+# presence prefilter: if the union of all header patterns has no match,
+# none of the 27 per-pattern scans can (texts without section headers —
+# the common case for conversation turns — skip the whole loop)
+_SECTION_ANY = re.compile("|".join(p for p, _ in SECTION_PATTERNS), re.IGNORECASE | re.MULTILINE)
 
 # section → {domain → affinity}  (section_parser.py:160-248)
 SECTION_DOMAIN_AFFINITY: dict[str, dict[str, float]] = {
@@ -233,6 +296,8 @@ def parse_sections(text: str) -> list[tuple[str, int, int]]:
     First pattern to claim a start offset wins; each span ends where the
     next begins; the last span runs to end-of-text.
     """
+    if not _SECTION_ANY.search(text):
+        return []
     found: dict[int, str] = {}
     for rx, section in _SECTION_RX:
         for m in rx.finditer(text):

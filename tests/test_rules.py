@@ -60,6 +60,29 @@ def test_assertion_tie_priority():
     assert rules.detect_assertion("") == rules.PRESENT
 
 
+def test_fast_trigger_scan_equivalence(golden_notes):
+    """The single-pass lookahead scanner must agree with the reference-shaped
+    per-pattern loop on every window of the golden notes AND on randomized
+    trigger-stuffed strings."""
+    import random
+
+    corpora = [n["text"] for n in golden_notes]
+    rng = random.Random(7)
+    vocab = (
+        "no not denies without absence of negative for ruled out runlikely evidence "
+        "cannot rule out can't possible probable suspected likely concern for may have "
+        "taking takes on receiving prescribed started continue using has with diagnosed "
+        "presents complaining reports history prior previous former had remote mother "
+        "father sibling family hx fhx pneumonia chest pain metformin and the . ,"
+    ).split()
+    for _ in range(300):
+        corpora.append(" ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+    for text in corpora:
+        for start in range(0, len(text), 7):
+            ctx = text[max(0, start - 50):start].lower()
+            assert rules.detect_assertion(ctx) == rules.detect_assertion_naive(ctx), repr(ctx)
+
+
 # ---------------------------------------------------------------------------
 # temporality / experiencer (any trigger in ±window)
 # ---------------------------------------------------------------------------
