@@ -32,7 +32,7 @@ if SRC not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from kgnorm import export, facts as facts_mod, graph, link, metrics, multimodal, ontology, rules, synth, textops, vecops
+from kgnorm import export, facts as facts_mod, graph, link, metrics, multimodal, normalize, ontology, rules, synth, textops, values, vecops
 from kgnorm.ac import build_automaton
 from kgnorm.extract import extract_mentions_df
 
@@ -354,6 +354,19 @@ def _q_events_sessionize(spark, sf_dir):
     return marked.select(
         "user_id", "event_id",
         F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_idx"),
+    )
+
+
+def _q_clinical_values(spark, sf_dir):
+    return values.extract_values(_stages(spark, sf_dir)["transcripts"])
+
+
+def _q_normalize_terms(spark, sf_dir):
+    m = _stages(spark, sf_dir)["mentions"]
+    return m.select(F.col("lexical_variant").alias("term")).distinct().select(
+        "term",
+        normalize.normalize_drug(F.col("term")).alias("drug_generic"),
+        normalize.normalize_condition(F.col("term")).alias("condition_full"),
     )
 
 
@@ -782,6 +795,76 @@ FROM (
   FROM events)"""
 
 
+def _templates_cte() -> str:
+    rows = [(i, t) for i, t in enumerate(synth.note_templates())]
+    return f"tmpls(tmpl, text) AS (VALUES {_values(rows)})"
+
+
+def _oracle_clinical_values() -> str:
+    """Independent re-run of the same regexes in DuckDB (RE2) — both
+    engines use leftmost-first alternation, inline (?i), no lookbehind."""
+    parts = []
+    for kind, name, pattern, vg in values.VITAL_PATTERNS:
+        p = pattern.replace("'", "''")
+        parts.append(f"""SELECT conv_id, turn_idx, '{kind}' AS kind, '{name}' AS name,
+  cast(unnest(regexp_extract_all(text, '{p}', {vg})) AS double) AS value,
+  cast(NULL AS double) AS value2, cast(NULL AS varchar) AS unit,
+  cast(NULL AS varchar) AS route, cast(NULL AS varchar) AS frequency
+FROM tt""")
+    bp = values.BP_PATTERN.replace("'", "''")
+    parts.append(f"""SELECT conv_id, turn_idx, 'vital' AS kind, 'Blood Pressure' AS name,
+  cast(l1[i] AS double) AS value, cast(l2[i] AS double) AS value2,
+  'mmHg' AS unit, cast(NULL AS varchar) AS route, cast(NULL AS varchar) AS frequency
+FROM (SELECT conv_id, turn_idx,
+             regexp_extract_all(text, '{bp}', 1) AS l1,
+             regexp_extract_all(text, '{bp}', 2) AS l2,
+             unnest(generate_series(1, len(regexp_extract_all(text, '{bp}', 1)))) AS i
+      FROM tt)""")
+    lab = values.LAB_GENERIC.replace("'", "''")
+    parts.append(f"""SELECT conv_id, turn_idx, 'lab' AS kind, lower(l1[i]) AS name,
+  cast(l2[i] AS double) AS value, cast(NULL AS double) AS value2,
+  nullif(lower(l3[i]), '') AS unit, cast(NULL AS varchar) AS route, cast(NULL AS varchar) AS frequency
+FROM (SELECT conv_id, turn_idx,
+             regexp_extract_all(text, '{lab}', 1) AS l1,
+             regexp_extract_all(text, '{lab}', 2) AS l2,
+             regexp_extract_all(text, '{lab}', 3) AS l3,
+             unnest(generate_series(1, len(regexp_extract_all(text, '{lab}', 1)))) AS i
+      FROM tt)""")
+    med = values.MED_PATTERN.replace("'", "''")
+    parts.append(f"""SELECT conv_id, turn_idx, 'medication' AS kind, lower(l1[i]) AS name,
+  cast(l2[i] AS double) AS value, cast(NULL AS double) AS value2,
+  nullif(lower(l3[i]), '') AS unit, nullif(lower(l4[i]), '') AS route, nullif(lower(l5[i]), '') AS frequency
+FROM (SELECT conv_id, turn_idx,
+             regexp_extract_all(text, '{med}', 1) AS l1,
+             regexp_extract_all(text, '{med}', 2) AS l2,
+             regexp_extract_all(text, '{med}', 3) AS l3,
+             regexp_extract_all(text, '{med}', 4) AS l4,
+             regexp_extract_all(text, '{med}', 5) AS l5,
+             unnest(generate_series(1, len(regexp_extract_all(text, '{med}', 1)))) AS i
+      FROM tt)""")
+    unioned = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_turns_cte()}, {_templates_cte()},
+tt AS (SELECT t.conv_id, t.turn_idx, m.text FROM turns t JOIN tmpls m USING (tmpl))
+SELECT DISTINCT * FROM (
+{unioned}
+)"""
+
+
+def _case_map(mapping: dict, col: str) -> str:
+    whens = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in mapping.items())
+    return f"CASE lower({col}) {whens} ELSE lower({col}) END"
+
+
+def _oracle_normalize_terms() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()},
+terms AS (SELECT DISTINCT e.lexical_variant AS term FROM exp e
+          WHERE e.tmpl IN (SELECT DISTINCT tmpl FROM turns))
+SELECT term,
+       {_case_map(normalize.DRUG_NORMALIZATION, 'term')} AS drug_generic,
+       {_case_map(normalize.CONDITION_NORMALIZATION, 'term')} AS condition_full
+FROM terms"""
+
+
 def _oracle_rank_topk_orders() -> str:
     return """SELECT o_custkey, o_orderkey, o_totalprice, cast(rk AS int) AS rk
 FROM (
@@ -828,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "events_tumbling": _q_events_tumbling,
         "events_sessionize": _q_events_sessionize,
+        "clinical_values": _q_clinical_values,
+        "normalize_terms": _q_normalize_terms,
     }
 
 
@@ -858,4 +943,6 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": _oracle_frame_sample(),
         "events_tumbling": _oracle_events_tumbling(),
         "events_sessionize": _oracle_events_sessionize(),
+        "clinical_values": _oracle_clinical_values(),
+        "normalize_terms": _oracle_normalize_terms(),
     }

@@ -108,14 +108,99 @@ class Automaton:
                     yield i, payload[terminal]
 
 
-def build_automaton(entries: list[tuple[str, Any]]):
-    """Build an automaton from ``(lowercased_pattern, payload)`` pairs.
+class RegexTrieMatcher:
+    """Dictionary matcher backed by one compiled trie regex.
+
+    Same ``iter`` contract and match SET as :class:`Automaton` /
+    pyahocorasick, built for multi-core cache behavior: the pure-Python
+    automaton's per-process node graph (~MBs of dicts) thrashes the
+    shared L3 once tens of workers run concurrently, while a compiled
+    trie regex is ~100 KB of ``sre`` bytecode scanned by the C engine.
+
+    Construction: a zero-width lookahead around a greedy trie pattern
+    ``(?=(<trie>))`` captures, at every start position, the LONGEST
+    dictionary term beginning there (terminal alternatives are ordered
+    after child descent).  All other terms matching at that position are
+    exactly the dictionary terms that are PREFIXES of the captured one
+    (two matches at one position are both prefixes of the text, hence
+    one is a prefix of the other), so a prefix-expansion table restores
+    the full overlapping match set, shortest first — which reproduces
+    pyahocorasick's end-ascending order after the caller's stable
+    sort-by-start (equivalence asserted in tests/test_ac.py).
+    """
+
+    __slots__ = ("_rx", "_expand")
+
+    def __init__(self, entries: list[tuple[str, Any]]) -> None:
+        payloads: dict[str, Any] = {}
+        for key, payload in entries:
+            if key and key not in payloads:
+                payloads[key] = payload
+
+        # trie of term characters
+        trie: dict = {}
+        for term in payloads:
+            node = trie
+            for ch in term:
+                node = node.setdefault(ch, {})
+            node[""] = True  # terminal marker
+
+        import re as _re
+
+        def emit(node: dict) -> str:
+            keys = [k for k in node if k != ""]
+            alts = []
+            for ch in sorted(keys):
+                sub = emit(node[ch])
+                alts.append(_re.escape(ch) + sub)
+            body = ""
+            if len(alts) == 1:
+                body = alts[0]
+            elif alts:
+                body = "(?:" + "|".join(alts) + ")"
+            if "" in node:
+                # terminal: prefer descending deeper (longest match first)
+                return "(?:" + body + ")?" if body else ""
+            return body
+
+        self._rx = _re.compile(r"(?=(" + emit(trie) + r"))")
+
+        # term -> [(len, payload) for every dictionary prefix of term], shortest first
+        self._expand = {}
+        for term, payload in payloads.items():
+            pre = [
+                (l, payloads[term[:l]])
+                for l in range(1, len(term) + 1)
+                if term[:l] in payloads
+            ]
+            self._expand[term] = pre
+
+    def iter(self, haystack: str):
+        expand = self._expand
+        for m in self._rx.finditer(haystack):
+            start = m.start()
+            for length, payload in expand[m.group(1)]:
+                yield start + length - 1, payload
+
+
+def build_automaton(entries: list[tuple[str, Any]], impl: str | None = None):
+    """Build a dictionary matcher from ``(lowercased_pattern, payload)`` pairs.
 
     First occurrence of a duplicate pattern wins (reference:
     nlp_rule_based.py:244-257 keeps the first payload per lowercase key).
-    Uses the C implementation when available, else the pure-Python one.
+
+    ``impl``: 'ahocorasick' (C extension), 'pure' (pure-Python AC),
+    'regex' (compiled trie regex — default when the C extension is
+    missing; best multi-worker cache behavior).
     """
-    auto = _pyahocorasick.Automaton() if _pyahocorasick is not None else Automaton()
+    import os
+
+    impl = impl or os.environ.get("KGNORM_MATCHER") or (
+        "ahocorasick" if _pyahocorasick is not None else "regex"
+    )
+    if impl == "regex":
+        return RegexTrieMatcher(entries)
+    auto = _pyahocorasick.Automaton() if impl == "ahocorasick" and _pyahocorasick is not None else Automaton()
     seen: set[str] = set()
     for key, payload in entries:
         if key in seen:

@@ -149,6 +149,24 @@ def _compile_fast() -> None:
 
 _compile_fast()
 
+# Literal prescreens: each is a NECESSARY substring for some trigger in its
+# category (every regex match contains one of these stems), so a failed
+# prescreen proves no trigger matches — the regex scan is skipped.  C-level
+# substring search is ~10× cheaper than the union regex on a window.
+_NEG_STEMS = ("no", "denie", "without", "absence", "negative", "ruled", "runlikely")
+_UNC_STEMS = ("rule", "possib", "probab", "suspect", "question", "may", "might",
+              "could", "appear", "likely", "concern", "can")
+_PAST_STEMS = ("histor", "prior", "previous", "former", "had", "diagnosed", "remote")
+_FAM_STEMS = ("family", "fhx", "mother", "father", "sibling", "brother", "sister", "parent")
+
+
+def _has_stem(context: str, stems: tuple) -> bool:
+    for s in stems:
+        if s in context:
+            return True
+    return False
+
+
 CONTEXT_WINDOW = 50  # chars (nlp_rule_based.py:417, :439)
 
 
@@ -179,12 +197,19 @@ def detect_assertion(preceding: str) -> str:
 
     Tie priority: uncertainty > positive > negation
     (nlp_rule_based.py:456-502).
+
+    Short-circuit: when neither an uncertainty nor a negation trigger is
+    present the answer is PRESENT regardless of positive triggers (they
+    only matter to OUTRANK a negation/uncertainty match), so the
+    positive scan — the most common and most expensive category — is
+    skipped.  Exact-equivalence with the reference-shaped full
+    evaluation is asserted in tests.
     """
-    unc = _max_end_fast(_UNC_FAST, preceding)
-    pos = _max_end_fast(_POS_FAST, preceding)
-    neg = _max_end_fast(_NEG_FAST, preceding)
-    if unc == -1 and pos == -1 and neg == -1:
+    unc = _max_end_fast(_UNC_FAST, preceding) if _has_stem(preceding, _UNC_STEMS) else -1
+    neg = _max_end_fast(_NEG_FAST, preceding) if _has_stem(preceding, _NEG_STEMS) else -1
+    if unc == -1 and neg == -1:
         return PRESENT
+    pos = _max_end_fast(_POS_FAST, preceding)
     top = max(unc, pos, neg)
     if unc == top:
         return POSSIBLE
@@ -210,11 +235,15 @@ def detect_assertion_naive(preceding: str) -> str:
 
 def detect_temporality(surrounding: str) -> str:
     """Any past trigger in the ±window → past (nlp_rule_based.py:504-519)."""
+    if not _has_stem(surrounding, _PAST_STEMS):
+        return CURRENT
     return PAST if _PAST_ANY.search(surrounding) else CURRENT
 
 
 def detect_experiencer(surrounding: str) -> str:
     """Any family trigger in the ±window → family (nlp_rule_based.py:521-536)."""
+    if not _has_stem(surrounding, _FAM_STEMS):
+        return PATIENT
     return FAMILY if _FAM_ANY.search(surrounding) else PATIENT
 
 
@@ -296,7 +325,9 @@ def parse_sections(text: str) -> list[tuple[str, int, int]]:
     First pattern to claim a start offset wins; each span ends where the
     next begins; the last span runs to end-of-text.
     """
-    if not _SECTION_ANY.search(text):
+    # every header pattern requires a ':' after the header (section_parser.py
+    # pattern table) — a text with no colon cannot contain a section header
+    if ":" not in text or not _SECTION_ANY.search(text):
         return []
     found: dict[int, str] = {}
     for rx, section in _SECTION_RX:

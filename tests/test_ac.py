@@ -55,6 +55,41 @@ def test_brute_force_equivalence_randomized():
         assert got == want
 
 
+def test_regex_trie_matcher_equivalence(ontology_bundle, golden_notes):
+    """RegexTrieMatcher must yield the same match SET as the pure AC, and
+    the same FINAL mention list through extract_mentions (order included)."""
+    from kgnorm import rules
+    from kgnorm.ac import RegexTrieMatcher
+
+    pure = build_automaton(ontology_bundle.dictionary, impl="pure")
+    fast = RegexTrieMatcher(ontology_bundle.dictionary)
+    texts = [n["text"] for n in golden_notes]
+    texts += [
+        "type 2 diabetes mellitus and type 2 diabetes overlap check",
+        "chf chf chf", "", "no match here at all 123",
+        "congestive heart failure vs heart failure vs failure",
+    ]
+    for text in texts:
+        low = text.lower()
+        assert sorted(pure.iter(low)) == sorted(fast.iter(low)), text
+        assert rules.extract_mentions(text, pure) == rules.extract_mentions(text, fast), text
+
+
+def test_regex_trie_randomized_equivalence():
+    import random
+
+    from kgnorm.ac import RegexTrieMatcher
+
+    rng = random.Random(11)
+    words = ["ab", "abc", "abcd", "b", "bc", "c ab", "x", "ab x", "ab x y"]
+    patterns = [(w, i) for i, w in enumerate(words)]
+    pure = build_automaton(patterns, impl="pure")
+    fast = RegexTrieMatcher(patterns)
+    for _ in range(200):
+        text = "".join(rng.choice("abcxy ") for _ in range(50))
+        assert sorted(pure.iter(text)) == sorted(fast.iter(text)), text
+
+
 def test_first_wins_duplicate_patterns():
     auto = build_automaton([("chf", ("CHF", "Condition", 1)), ("chf", ("chf", "Drug", 2))])
     hits = list(auto.iter("chf"))

@@ -77,10 +77,19 @@ def test_fast_trigger_scan_equivalence(golden_notes):
     ).split()
     for _ in range(300):
         corpora.append(" ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+    def naive_temporality(ctx):
+        return rules.PAST if any(rx.search(ctx) for rx in rules._PAST_RX) else rules.CURRENT
+
+    def naive_experiencer(ctx):
+        return rules.FAMILY if any(rx.search(ctx) for rx in rules._FAM_RX) else rules.PATIENT
+
     for text in corpora:
         for start in range(0, len(text), 7):
             ctx = text[max(0, start - 50):start].lower()
             assert rules.detect_assertion(ctx) == rules.detect_assertion_naive(ctx), repr(ctx)
+            sur = text[max(0, start - 50):start + 50].lower()
+            assert rules.detect_temporality(sur) == naive_temporality(sur), repr(sur)
+            assert rules.detect_experiencer(sur) == naive_experiencer(sur), repr(sur)
 
 
 # ---------------------------------------------------------------------------
