@@ -357,6 +357,17 @@ def _q_events_sessionize(spark, sf_dir):
     )
 
 
+def _q_kg_relations(spark, sf_dir):
+    from kgnorm import relations
+
+    s = _stages(spark, sf_dir)
+    rel = relations.proximity_relations(s["mentions"], s["transcripts"])
+    return relations.dedup_relations(rel).select(
+        "conv_id", "source_text", "target_text", "relation_type",
+        "confidence", "first_turn_idx", "method", "source_domain", "target_domain",
+    )
+
+
 def _q_clinical_values(spark, sf_dir):
     return values.extract_values(_stages(spark, sf_dir)["transcripts"])
 
@@ -795,6 +806,50 @@ FROM (
   FROM events)"""
 
 
+def _oracle_kg_relations() -> str:
+    from kgnorm import relations as rel_mod
+
+    rule_selects = []
+    for src_dom, tgt_dom, rel_type, keywords in rel_mod.DOMAIN_RULES:
+        kw = " OR ".join(f"contains(between_text, '{k}')" for k in keywords)
+        rule_selects.append(f"""SELECT conv_id, turn_idx, source_text, source_domain, target_text, target_domain,
+       '{rel_type}' AS relation_type,
+       CASE WHEN {kw} THEN CAST(0.8 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END AS confidence
+FROM pairs
+WHERE source_domain = '{src_dom}' AND target_domain = '{tgt_dom}'
+  AND (({kw}) OR distance < {rel_mod.CLOSE_DISTANCE})""")
+    unioned = "\nUNION ALL\n".join(rule_selects)
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_templates_cte()},
+m AS (
+  SELECT t.conv_id, t.turn_idx, t.tmpl, e.mention_text, e.start_offset, e.end_offset,
+         lower(coalesce(e.domain_hint, 'observation')) AS dom
+  FROM turns t JOIN exp e USING (tmpl)),
+pairs AS (
+  SELECT a.conv_id, a.turn_idx,
+         a.mention_text AS source_text, a.dom AS source_domain,
+         b.mention_text AS target_text, b.dom AS target_domain,
+         abs(a.start_offset - b.start_offset) AS distance,
+         lower(substr(tm.text,
+                      least(a.end_offset, b.end_offset) + 1,
+                      greatest(a.start_offset, b.start_offset) - least(a.end_offset, b.end_offset))) AS between_text
+  FROM m a
+  JOIN m b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+          AND (a.start_offset <> b.start_offset OR a.end_offset <> b.end_offset)
+          AND abs(a.start_offset - b.start_offset) <= {rel_mod.MAX_ENTITY_DISTANCE}
+  JOIN tmpls tm ON tm.tmpl = a.tmpl),
+rels AS (
+{unioned}
+)
+SELECT conv_id, source_text, target_text, relation_type,
+       max(confidence) AS confidence,
+       min(turn_idx) AS first_turn_idx,
+       arg_min('proximity', turn_idx) AS method,
+       arg_min(source_domain, turn_idx) AS source_domain,
+       arg_min(target_domain, turn_idx) AS target_domain
+FROM rels
+GROUP BY 1, 2, 3, 4"""
+
+
 def _templates_cte() -> str:
     rows = [(i, t) for i, t in enumerate(synth.note_templates())]
     return f"tmpls(tmpl, text) AS (VALUES {_values(rows)})"
@@ -913,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "clinical_values": _q_clinical_values,
         "normalize_terms": _q_normalize_terms,
+        "kg_relations": _q_kg_relations,
     }
 
 
@@ -945,4 +1001,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _oracle_events_sessionize(),
         "clinical_values": _oracle_clinical_values(),
         "normalize_terms": _oracle_normalize_terms(),
+        "kg_relations": _oracle_kg_relations(),
     }

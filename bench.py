@@ -75,9 +75,10 @@ def main() -> None:
     timings["facts"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    n_triples = graph.build_triples(facts).count()
-    n_nodes = graph.build_nodes(facts).count()
-    n_edges = graph.build_edges(facts).count()
+    graph_base = graph.first_facts(facts).persist()
+    n_triples = graph.build_triples(graph_base, prepared=True).count()
+    n_nodes = graph.build_nodes(graph_base, prepared=True).count()
+    n_edges = graph.build_edges(graph_base, prepared=True).count()
     timings["graph"] = round(time.time() - t0, 3)
 
     e2e = round(time.time() - t_total0, 3)

@@ -72,10 +72,22 @@ def mention_facts_input(mentions: DataFrame, top_candidates: DataFrame) -> DataF
     return m.join(cand, ["conv_id", "turn_idx", "start_offset", "end_offset"])
 
 
-def build_facts(fact_inputs: DataFrame) -> DataFrame:
-    """Aggregate FactInput rows into canonical facts (noisy-OR merge)."""
+def build_facts(fact_inputs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Aggregate FactInput rows into canonical facts (noisy-OR merge).
+
+    Shuffle plan: ONE explicit repartition on ``conv_id``.  Because
+    ``hash(conv_id)`` partitioning satisfies the clustered distribution
+    of every downstream conversation-keyed operator (the 5-part-key
+    groupBy here, the graph window in kgnorm.graph, per-conv metrics),
+    Catalyst inserts no further exchanges when those chain off this
+    DataFrame — verified with ``.explain`` (one Exchange, partial+final
+    HashAggregate, WindowGroupLimit for the rank-1 window).
+    """
+    spark = fact_inputs.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     return (
-        fact_inputs.withColumn("_ord", _ord_key())
+        fact_inputs.repartition(n, "conv_id")
+        .withColumn("_ord", _ord_key())
         .groupBy(*FACT_KEY)
         .agg(
             F.expr("min_by(concept_name, _ord)").alias("concept_name"),

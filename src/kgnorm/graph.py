@@ -70,13 +70,24 @@ def _facts_typed(facts: DataFrame) -> DataFrame:
     return facts.withColumn("node_type", F.expr(_NODE_TYPE)).withColumn("edge_type", F.expr(_EDGE_TYPE))
 
 
-def concept_nodes(facts: DataFrame) -> DataFrame:
-    """Concept nodes deduplicated on (conv_id, node_type, concept_id)."""
+def first_facts(facts: DataFrame) -> DataFrame:
+    """First-evidence fact per (conv_id, node_type, omop_concept_id).
+
+    ONE window serves nodes, edges, AND triples: ``edge_type`` is a
+    bijection of ``node_type`` (both collapse only device→observation),
+    so the three dedup groupings are identical partitions.  Checkpoint or
+    persist this once and derive all graph outputs as projections.
+    """
     typed = _facts_typed(facts)
     w = Window.partitionBy("conv_id", "node_type", "omop_concept_id").orderBy(
         "first_turn_idx", "first_start_offset", "assertion"
     )
-    first = typed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return typed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def concept_nodes(facts: DataFrame, prepared: bool = False) -> DataFrame:
+    """Concept nodes deduplicated on (conv_id, node_type, concept_id)."""
+    first = facts if prepared else first_facts(facts)
     return first.select(
         _node_id(F.lit("concept"), F.col("conv_id"), F.col("node_type"),
                  F.col("omop_concept_id").cast("string")).alias("node_id"),
@@ -94,13 +105,9 @@ def concept_nodes(facts: DataFrame) -> DataFrame:
     )
 
 
-def build_edges(facts: DataFrame) -> DataFrame:
+def build_edges(facts: DataFrame, prepared: bool = False) -> DataFrame:
     """Hub→concept edges deduplicated on (source, target, edge_type)."""
-    typed = _facts_typed(facts)
-    w = Window.partitionBy("conv_id", "node_type", "omop_concept_id", "edge_type").orderBy(
-        "first_turn_idx", "first_start_offset", "assertion"
-    )
-    first = typed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    first = facts if prepared else first_facts(facts)
     src = _node_id(F.lit("patient"), F.col("conv_id"))
     dst = _node_id(F.lit("concept"), F.col("conv_id"), F.col("node_type"),
                    F.col("omop_concept_id").cast("string"))
@@ -115,12 +122,12 @@ def build_edges(facts: DataFrame) -> DataFrame:
     )
 
 
-def build_nodes(facts: DataFrame) -> DataFrame:
+def build_nodes(facts: DataFrame, prepared: bool = False) -> DataFrame:
     """All graph nodes: hub + concept nodes."""
-    return hub_nodes(facts).unionByName(concept_nodes(facts))
+    return hub_nodes(facts).unionByName(concept_nodes(facts, prepared))
 
 
-def build_triples(facts: DataFrame) -> DataFrame:
+def build_triples(facts: DataFrame, prepared: bool = False) -> DataFrame:
     """Emitted (subj, pred, obj) triples — the parity artifact.
 
     subj = the conversation hub (conv_id), pred = has_<domain> edge type,
@@ -128,11 +135,7 @@ def build_triples(facts: DataFrame) -> DataFrame:
     (subj, pred, obj); ``assertion`` is the first-evidence fact's value
     (the reference keeps the first-processed fact's edge property).
     """
-    typed = _facts_typed(facts)
-    w = Window.partitionBy("conv_id", "edge_type", "omop_concept_id").orderBy(
-        "first_turn_idx", "first_start_offset", "assertion"
-    )
-    first = typed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    first = facts if prepared else first_facts(facts)
     return first.select(
         "conv_id",
         F.col("conv_id").alias("subj"),

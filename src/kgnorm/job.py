@@ -52,7 +52,10 @@ def run_pipeline(
 
     def checkpointed(name: str, compute, partition_by=None) -> DataFrame:
         if store is None:
-            return compute()
+            # no checkpoint table → persist: each stage is referenced by
+            # several downstream branches, and without materialization the
+            # whole extraction subtree would re-execute once per branch
+            return compute().persist()
         return store.get_or_compute(spark, name, compute, resume=resume, partition_by=partition_by)
 
     mentions = checkpointed(
@@ -63,9 +66,11 @@ def run_pipeline(
     facts = checkpointed(
         "facts", lambda: facts_mod.build_facts(facts_mod.mention_facts_input(mentions, top))
     )
-    nodes = checkpointed("nodes", lambda: graph.build_nodes(facts))
-    edges = checkpointed("edges", lambda: graph.build_edges(facts))
-    triples = checkpointed("triples", lambda: graph.build_triples(facts))
+    # one shared window for nodes/edges/triples (see graph.first_facts)
+    graph_base = checkpointed("graph_base", lambda: graph.first_facts(facts))
+    nodes = checkpointed("nodes", lambda: graph.build_nodes(graph_base, prepared=True))
+    edges = checkpointed("edges", lambda: graph.build_edges(graph_base, prepared=True))
+    triples = checkpointed("triples", lambda: graph.build_triples(graph_base, prepared=True))
 
     out = {
         "mentions": mentions,

@@ -35,10 +35,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kgnorm import schemas
 
-DATA_DIR = os.environ.get(
-    "KGNORM_DATA_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data"),
-)
+def _default_data_dir() -> str:
+    env = os.environ.get("KGNORM_DATA_DIR")
+    if env:
+        return env
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo_data = os.path.join(os.path.dirname(os.path.dirname(here)), "data")
+    if os.path.isdir(repo_data):
+        return repo_data
+    # --py-files zip layout (tools/make_pyfiles.py): kgnorm_data/ beside the package
+    return os.path.join(os.path.dirname(here), "kgnorm_data")
+
+
+DATA_DIR = _default_data_dir()
 
 # Vocabularies/domains kept by the Athena bulk loader
 # (load_omop_vocabulary.py:47-58).

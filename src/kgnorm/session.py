@@ -25,6 +25,18 @@ def _export_pythonpath() -> None:
         )
 
 
+def _local_dir() -> str:
+    """Shuffle/spill directory: prefer tmpfs (/dev/shm) when it exists —
+    local-mode shuffle writes are otherwise disk-I/O-bound and cap the
+    scaling of shuffle-heavy stages; on a real cluster this maps to
+    NVMe-backed local dirs per executor."""
+    shm = "/dev/shm/kgnorm-spark"
+    if os.path.isdir("/dev/shm"):
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    return "/tmp/kgnorm-spark"
+
+
 def get_spark(
     app_name: str = "kgnorm",
     master: str | None = None,
@@ -52,7 +64,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.executorEnv.PYTHONPATH", os.environ.get("PYTHONPATH", SRC_DIR))
-        .config("spark.driver.memory", os.environ.get("KGNORM_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("KGNORM_DRIVER_MEM", "20g"))
+        .config("spark.local.dir", os.environ.get("KGNORM_LOCAL_DIR", _local_dir()))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -70,6 +70,22 @@ def test_deterministic_ids(spark):
     assert sorted(n.node_id for n in a) == sorted(n.node_id for n in b)
 
 
+def test_prepared_first_facts_equivalence(spark):
+    """nodes/edges/triples built from a shared first_facts base must equal
+    the direct per-output window path."""
+    f = _facts(spark, [
+        ("C1", 10, "Metformin", "drug", "present", "current", "patient", 0.9, 1, 0, 0),
+        ("C1", 10, "Metformin", "drug", "absent", "current", "patient", 0.5, 1, 2, 0),
+        ("C1", 30, "Pacemaker", "device", "present", "current", "patient", 0.9, 1, 1, 0),
+        ("C2", 30, "Obs", "observation", "absent", "past", "family", 0.7, 1, 0, 0),
+    ])
+    base = graph.first_facts(f)
+    for fn in (graph.build_nodes, graph.build_edges, graph.build_triples):
+        direct = sorted(map(tuple, fn(f).collect()))
+        shared = sorted(map(tuple, fn(base, prepared=True).collect()))
+        assert direct == shared, fn.__name__
+
+
 def test_edges_reference_existing_nodes(spark):
     f = _facts(spark, [
         ("C1", 1, "Cough", "condition", "present", "current", "patient", 0.9, 1, 0, 0),

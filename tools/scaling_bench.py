@@ -44,8 +44,8 @@ def main() -> None:
     eff = (tps_hi / tps_lo) / (hi_cpus / lo_cpus)
     summary = {
         "turns": turns,
-        "local8": {"sec": lo["value"], "turns_per_sec": tps_lo, "stages": lo["queries"]},
-        "local32": {"sec": hi["value"], "turns_per_sec": tps_hi, "stages": hi["queries"]},
+        f"local{lo_cpus}": {"sec": lo["value"], "turns_per_sec": tps_lo, "stages": lo["queries"]},
+        f"local{hi_cpus}": {"sec": hi["value"], "turns_per_sec": tps_hi, "stages": hi["queries"]},
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
