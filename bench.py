@@ -53,7 +53,11 @@ def main() -> None:
     concepts = ontology.concepts_df(spark, ont)
     synonyms = ontology.synonyms_df(spark, ont)
 
-    transcripts = synth.synth_transcripts(spark, n_turns)
+    # KGNORM_UNIQUE_TEXTS=1 makes every turn text distinct (defeats the
+    # extraction memo — the honest worst case); KGNORM_NO_MEMO=1 disables
+    # the memo outright.  Defaults model duplicate-heavy agent transcripts.
+    unique_texts = bool(os.environ.get("KGNORM_UNIQUE_TEXTS"))
+    transcripts = synth.synth_transcripts(spark, n_turns, unique_texts=unique_texts)
 
     timings: dict[str, float] = {}
     t_total0 = time.time()
@@ -64,7 +68,9 @@ def main() -> None:
     timings["extract"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    candidates = link.link_mentions(mentions, concepts, synonyms).persist()
+    # not persisted: the 15M-row x 16-col cache roughly doubles JVM cache
+    # pressure for one extra cheap recompute from cached mentions
+    candidates = link.link_mentions(mentions, concepts, synonyms)
     n_candidates = candidates.count()
     timings["link"] = round(time.time() - t0, 3)
 

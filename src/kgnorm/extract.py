@@ -66,6 +66,16 @@ def extract_mentions_df(
 
     def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         auto = None
+        # per-worker memo of text → extracted mentions.  Agent-transcript
+        # corpora repeat turn texts heavily (tool banners, boilerplate,
+        # canned replies); extraction is a pure function of the text, so
+        # each distinct string is scanned once per worker.  Bounded to
+        # keep the worker's footprint flat on high-cardinality corpora.
+        import os as _os
+
+        memo_enabled = not _os.environ.get("KGNORM_NO_MEMO")
+        memo: dict[str, list] = {}
+        memo_cap = 50_000 if memo_enabled else 0
         for batch in batches:
             if auto is None:
                 auto = _automaton_for(dictionary.value)
@@ -76,7 +86,14 @@ def extract_mentions_df(
             for conv_id, turn_idx, text in zip(conv_ids, turn_idxs, texts):
                 if text is None:
                     continue
-                for m in rules.extract_mentions(text, auto):
+                mentions = memo.get(text) if memo_enabled else None
+                if mentions is None:
+                    mentions = rules.extract_mentions(text, auto)
+                    if memo_enabled:
+                        if len(memo) >= memo_cap:
+                            memo.clear()
+                        memo[text] = mentions
+                for m in mentions:
                     out["conv_id"].append(conv_id)
                     out["turn_idx"].append(int(turn_idx))
                     out["mention_text"].append(m.text)

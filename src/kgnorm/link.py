@@ -194,6 +194,13 @@ def link_mentions(mentions: DataFrame, concepts: DataFrame, synonyms: DataFrame,
         F.col("omop_concept_id").isNull() | (F.col("omop_concept_id") <= 0)
     ).withColumn("term", normalize_term(F.col("mention_text")))
 
+    # adaptive fast path: when every mention is dictionary-linked (the
+    # common case — the curated dictionary carries concept ids), skip the
+    # whole cascade subtree.  AQE materializes each cascade exchange as a
+    # separate job, so even an EMPTY cascade costs ~10 scheduling rounds.
+    if unlinked.isEmpty():
+        return direct_candidates(mentions)
+
     terms = unlinked.select("term").distinct()
     mapped_terms = map_terms(terms, concepts, synonyms, limit)
 

@@ -65,6 +65,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.executorEnv.PYTHONPATH", os.environ.get("PYTHONPATH", SRC_DIR))
         .config("spark.driver.memory", os.environ.get("KGNORM_DRIVER_MEM", "20g"))
+        # G1 (the JDK17 default) collapses under 32 concurrent task threads
+        # with allocation-heavy shuffle/cache stages (measured 34s vs 9s for
+        # the same aggregation); throughput-oriented ParallelGC restores
+        # linear behavior for batch workloads like this one
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.local.dir", os.environ.get("KGNORM_LOCAL_DIR", _local_dir()))
         .config("spark.ui.enabled", "false")
     )

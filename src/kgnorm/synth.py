@@ -58,23 +58,34 @@ def synth_transcripts(
     n_turns: int,
     turns_per_conv: int = 8,
     data_dir: str | None = None,
+    unique_texts: bool = False,
 ) -> DataFrame:
     """Distributed deterministic transcripts of ``n_turns`` rows.
 
     Text of row ``i`` is note template ``i % 10`` — the whole table's
     expected extraction is template-periodic, which makes golden
     verification possible at any scale.
+
+    ``unique_texts=True`` appends a per-turn trigger-free marker
+    sentence (" Ref Cnnn.") so every row's text is distinct — the
+    worst case for the extraction UDF's distinct-text memo; used by the
+    memo-off benchmark variant.  The marker contains no dictionary terms
+    or context triggers, so per-template extraction semantics are
+    unchanged except for offsets-past-end never matching.
     """
     templates = note_templates(data_dir)
     tarr = F.array(*[F.lit(t) for t in templates])
     roles = F.array(F.lit("user"), F.lit("assistant"))
+    text = F.element_at(tarr, (F.pmod(F.col("id"), F.lit(len(templates))) + 1).cast("int"))
+    if unique_texts:
+        text = F.concat(text, F.lit(" Ref C"), F.col("id").cast("string"), F.lit("."))
     return (
         spark.range(n_turns)
         .select(
             F.concat(F.lit("C"), F.lpad((F.col("id") / turns_per_conv).cast("long").cast("string"), 8, "0")).alias("conv_id"),
             F.pmod(F.col("id"), F.lit(turns_per_conv)).cast("int").alias("turn_idx"),
             F.element_at(roles, (F.pmod(F.col("id"), F.lit(2)) + 1).cast("int")).alias("role"),
-            F.element_at(tarr, (F.pmod(F.col("id"), F.lit(len(templates))) + 1).cast("int")).alias("text"),
+            text.alias("text"),
             F.lit("").alias("tool"),
             (F.lit(1767225600).cast("timestamp") + F.make_interval(secs=F.col("id").cast("double"))).alias("ts"),
         )

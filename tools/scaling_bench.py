@@ -22,7 +22,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(cpus: int, turns: int) -> dict:
+def run_once(cpus: int, turns: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["KGNORM_BENCH_TURNS"] = str(turns)
@@ -32,6 +32,22 @@ def run(cpus: int, turns: int) -> dict:
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
+
+
+def run(cpus: int, turns: int) -> dict:
+    """Best of KGNORM_SCALING_REPS runs (default 1).
+
+    The sandbox VM sees 3-8% host CPU steal with load-dependent spikes;
+    single runs vary ±40% on shuffle stages.  Best-of-N takes the
+    least-contaminated sample per level.
+    """
+    reps = int(os.environ.get("KGNORM_SCALING_REPS", "1"))
+    best = None
+    for _ in range(reps):
+        r = run_once(cpus, turns)
+        if best is None or r["value"] < best["value"]:
+            best = r
+    return best
 
 
 def main() -> None:
