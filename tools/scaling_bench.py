@@ -103,7 +103,9 @@ Scale notes (100 TB / 10^12-turn design):
 - stage checkpoints (parquet/Iceberg) make the job resumable; reruns are
   byte-identical thanks to deterministic sha2 ids
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # BENCH.md is the hand-curated multi-run analysis; each invocation
+    # writes its own snapshot next to it
+    with open(os.path.join(REPO, "BENCH_RUN.md"), "w") as f:
         f.write(md)
 
 
