@@ -381,6 +381,47 @@ def _q_normalize_terms(spark, sf_dir):
     )
 
 
+def _q_kg_positive_facts(spark, sf_dir):
+    """Positive-event projection: ABSENT facts filtered for event exports
+    (specs/omop_export.md:48-58); the facts table itself keeps them."""
+    return facts_mod.positive_facts(_stages(spark, sf_dir)["facts"]).select(
+        "conv_id", "omop_concept_id", "assertion", "temporality", "experiencer",
+        F.round("confidence", 6).alias("confidence6"), "evidence_count",
+    )
+
+
+def _q_pricing_summary(spark, sf_dir):
+    """Classic grouped-aggregate sweep over the largest fact table
+    (generic engine breadth: multi-agg groupBy with filter pushdown)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_customer_order_stats(spark, sf_dir):
+    """Broadcast dim join + agg (generic join/agg breadth)."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
 def _q_rank_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic top-k-per-group window (SURVEY §2.6/2.7) on TPC-H orders."""
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
@@ -920,6 +961,34 @@ SELECT term,
 FROM terms"""
 
 
+def _oracle_kg_positive_facts() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()}
+SELECT conv_id, omop_concept_id, assertion, temporality, experiencer,
+       confidence6, evidence_count
+FROM facts WHERE assertion <> 'absent'"""
+
+
+def _oracle_pricing_summary() -> str:
+    return """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY 1, 2"""
+
+
+def _oracle_customer_order_stats() -> str:
+    return """SELECT c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1"""
+
+
 def _oracle_rank_topk_orders() -> str:
     return """SELECT o_custkey, o_orderkey, o_totalprice, cast(rk AS int) AS rk
 FROM (
@@ -969,6 +1038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clinical_values": _q_clinical_values,
         "normalize_terms": _q_normalize_terms,
         "kg_relations": _q_kg_relations,
+        "kg_positive_facts": _q_kg_positive_facts,
+        "pricing_summary": _q_pricing_summary,
+        "customer_order_stats": _q_customer_order_stats,
     }
 
 
@@ -1002,4 +1074,7 @@ def oracle_sql() -> dict[str, str]:
         "clinical_values": _oracle_clinical_values(),
         "normalize_terms": _oracle_normalize_terms(),
         "kg_relations": _oracle_kg_relations(),
+        "kg_positive_facts": _oracle_kg_positive_facts(),
+        "pricing_summary": _oracle_pricing_summary(),
+        "customer_order_stats": _oracle_customer_order_stats(),
     }

@@ -233,6 +233,16 @@ def test_golden_notes_expected_mentions(golden_notes, automaton):
     assert not wrong, f"attribute mismatches: {wrong}"
 
 
+def test_degenerate_inputs(automaton):
+    assert rules.extract_mentions("", automaton) == []
+    assert rules.extract_mentions("    \n\t ", automaton) == []
+    assert rules.extract_mentions("xyzzy unrelated words only", automaton) == []
+    # unicode text: offsets are python str indices; no crash, valid spans
+    text = "Pätient prèsents with cough — naïve café ✓"
+    for m in rules.extract_mentions(text, automaton):
+        assert text[m.start_offset:m.end_offset] == m.text
+
+
 def test_mentions_sorted_and_offsets_valid(golden_notes, automaton):
     for note in golden_notes:
         text = note["text"]
