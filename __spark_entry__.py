@@ -381,6 +381,16 @@ def _q_normalize_terms(spark, sf_dir):
     )
 
 
+def _q_kg_canonical_triples(spark, sf_dir):
+    """Alias-merged triples: facts rewritten through the connected-components
+    canonical mapping, re-merged, projected to triples (SURVEY §4)."""
+    from kgnorm import canon
+
+    rels = ontology.relationships_df(spark, _ont())
+    cf = canon.canonicalize_facts(_stages(spark, sf_dir)["facts"], rels)
+    return graph.build_triples(cf).select("conv_id", "subj", "pred", "obj", "omop_concept_id")
+
+
 def _q_kg_positive_facts(spark, sf_dir):
     """Positive-event projection: ABSENT facts filtered for event exports
     (specs/omop_export.md:48-58); the facts table itself keeps them."""
@@ -961,6 +971,67 @@ SELECT term,
 FROM terms"""
 
 
+def _canon_mapping_ctes() -> str:
+    """Recursive-CTE connected components + terminal selection (shared by
+    kg_canonical and kg_canonical_triples oracles)."""
+    rel_rows = [
+        (r["concept_id_1"], r["concept_id_2"], r["relationship_id"])
+        for r in _ont().relationships
+    ]
+    return f"""rel(a, b, r) AS (VALUES {_values(rel_rows)}),
+alias_e AS (
+  SELECT a AS src, b AS dst FROM rel WHERE r IN ('Maps to', 'Mapped from') AND a <> b
+  UNION
+  SELECT b, a FROM rel WHERE r IN ('Maps to', 'Mapped from') AND a <> b),
+reach(v, w) AS (
+  SELECT src, dst FROM alias_e
+  UNION
+  SELECT rc.v, e.dst FROM reach rc JOIN alias_e e ON rc.w = e.src),
+comp AS (SELECT v AS concept_id, least(v, min(w)) AS component_id FROM reach GROUP BY v),
+mt_sources AS (SELECT DISTINCT a AS concept_id FROM rel WHERE r = 'Maps to'),
+mt_targets AS (SELECT DISTINCT b AS concept_id FROM rel WHERE r = 'Maps to'),
+terminals AS (SELECT concept_id FROM mt_targets
+              WHERE concept_id NOT IN (SELECT concept_id FROM mt_sources)),
+comp_term AS (SELECT c.component_id, min(c.concept_id) AS terminal_id
+              FROM comp c JOIN terminals tm ON c.concept_id = tm.concept_id GROUP BY 1),
+comp_min AS (SELECT component_id, min(concept_id) AS min_id FROM comp GROUP BY 1),
+canon_map AS (
+  SELECT c.concept_id,
+         coalesce(ct.terminal_id, m2.min_id) AS canonical_concept_id
+  FROM comp c
+  JOIN comp_min m2 USING (component_id)
+  LEFT JOIN comp_term ct USING (component_id)
+  WHERE c.concept_id <> coalesce(ct.terminal_id, m2.min_id))"""
+
+
+def _oracle_kg_canonical_triples() -> str:
+    return f"""WITH RECURSIVE {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()},
+{_canon_mapping_ctes()},
+rewritten AS (
+  SELECT f.conv_id,
+         cast(coalesce(cm.canonical_concept_id, f.omop_concept_id) AS bigint) AS omop_concept_id,
+         f.assertion, f.temporality, f.experiencer, f.domain,
+         f.first_turn_idx, f.first_start_offset,
+         f.first_turn_idx * 100000000 + f.first_start_offset AS ord2
+  FROM facts f LEFT JOIN canon_map cm ON f.omop_concept_id = cm.concept_id),
+merged AS (
+  SELECT conv_id, omop_concept_id, assertion, temporality, experiencer,
+         arg_min(domain, ord2) AS domain,
+         min(first_turn_idx) AS first_turn_idx,
+         min(first_start_offset) AS first_start_offset
+  FROM rewritten
+  GROUP BY 1, 2, 3, 4, 5),
+typed AS (SELECT *, {_EDGE_CASE_SQL} AS pred FROM merged),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, pred, omop_concept_id
+    ORDER BY first_turn_idx, first_start_offset, assertion) AS rn
+  FROM typed)
+SELECT conv_id, conv_id AS subj, pred,
+       'concept:' || cast(omop_concept_id AS varchar) AS obj, omop_concept_id
+FROM ranked WHERE rn = 1"""
+
+
 def _oracle_kg_positive_facts() -> str:
     return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()}
 SELECT conv_id, omop_concept_id, assertion, temporality, experiencer,
@@ -1038,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clinical_values": _q_clinical_values,
         "normalize_terms": _q_normalize_terms,
         "kg_relations": _q_kg_relations,
+        "kg_canonical_triples": _q_kg_canonical_triples,
         "kg_positive_facts": _q_kg_positive_facts,
         "pricing_summary": _q_pricing_summary,
         "customer_order_stats": _q_customer_order_stats,
@@ -1074,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
         "clinical_values": _oracle_clinical_values(),
         "normalize_terms": _oracle_normalize_terms(),
         "kg_relations": _oracle_kg_relations(),
+        "kg_canonical_triples": _oracle_kg_canonical_triples(),
         "kg_positive_facts": _oracle_kg_positive_facts(),
         "pricing_summary": _oracle_pricing_summary(),
         "customer_order_stats": _oracle_customer_order_stats(),

@@ -75,18 +75,20 @@ def mention_facts_input(mentions: DataFrame, top_candidates: DataFrame) -> DataF
 def build_facts(fact_inputs: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Aggregate FactInput rows into canonical facts (noisy-OR merge).
 
-    Shuffle plan: ONE explicit repartition on ``conv_id``.  Because
-    ``hash(conv_id)`` partitioning satisfies the clustered distribution
-    of every downstream conversation-keyed operator (the 5-part-key
-    groupBy here, the graph window in kgnorm.graph, per-conv metrics),
-    Catalyst inserts no further exchanges when those chain off this
-    DataFrame — verified with ``.explain`` (one Exchange, partial+final
-    HashAggregate, WindowGroupLimit for the rank-1 window).
+    Shuffle plan: plain ``groupBy`` — Spark's partial (map-side)
+    aggregation collapses each fact's evidences BEFORE the exchange.
+    Because upstream extraction already co-partitions a conversation's
+    mentions, the partial agg fully combines duplicates, so the exchange
+    carries ~facts-many narrow rows instead of ~mentions-many wide ones.
+    Measured at 12M turns / 60M mentions (local[32]): 30.2s for
+    facts→triples vs 66.6s for the alternative single-exchange plan
+    (explicit repartition(conv_id) whose hash(conv) partitioning lets the
+    agg and the graph window reuse one exchange — fewer exchanges but
+    2.2× more shuffled bytes).  ``num_partitions`` kept for API
+    compatibility; unused.
     """
-    spark = fact_inputs.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     return (
-        fact_inputs.repartition(n, "conv_id")
+        fact_inputs
         .withColumn("_ord", _ord_key())
         .groupBy(*FACT_KEY)
         .agg(
