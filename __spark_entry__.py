@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -43,6 +45,48 @@ _EDGE_CASE_SQL = (
     "WHEN 'observation' THEN 'has_observation' WHEN 'device' THEN 'has_observation' "
     "ELSE 'has_observation' END"
 )
+
+# ---------------------------------------------------------------------------
+# executor deployment: the harness builds its own SparkSession, so the
+# kgnorm package must be shipped per-session via addPyFile (driver-side
+# sys.path mutation never reaches the forked Python workers).
+# ---------------------------------------------------------------------------
+
+_SHIPPED: set[str] = set()
+
+
+def _kgnorm_zip() -> str:
+    """Build (once per process) the kgnorm py-files zip for addPyFile."""
+    path = os.path.join(tempfile.gettempdir(), f"kgnorm_pyfiles_{os.getpid()}.zip")
+    if not os.path.exists(path):
+        tmp = path + ".part"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            pkg = os.path.join(SRC, "kgnorm")
+            for root, _dirs, files in os.walk(pkg):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        p = os.path.join(root, f)
+                        z.write(p, os.path.relpath(p, SRC))
+        os.replace(tmp, path)
+    return path
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app not in _SHIPPED:
+        sc.addPyFile(_kgnorm_zip())
+        _SHIPPED.add(app)
+
+
+def _shipping(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
 
 # ---------------------------------------------------------------------------
 # shared lazily-built artifacts
@@ -66,6 +110,7 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict:
     key = (id(spark), sf_dir)
     if key in _STAGE_CACHE:
         return _STAGE_CACHE[key]
+    _ensure_shipped(spark)
     ont = _ont()
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     transcripts = synth.transcripts_from_documents(docs, TURNS_PER_CONV)
@@ -73,7 +118,10 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict:
     mentions = extract_mentions_df(transcripts, dictionary).persist()
     concepts = ontology.concepts_df(spark, ont)
     synonyms = ontology.synonyms_df(spark, ont)
-    candidates = link.link_mentions(mentions, concepts, synonyms).persist()
+    candidates = link.link_mentions(
+        mentions, concepts, synonyms,
+        assume_all_direct=ontology.all_entries_linked(ont),
+    ).persist()
     top = link.top_candidates(candidates)
     facts = facts_mod.build_facts(facts_mod.mention_facts_input(mentions, top)).persist()
     out = {
@@ -346,11 +394,17 @@ def _q_events_tumbling(spark, sf_dir):
 
 
 def _q_events_sessionize(spark, sf_dir):
-    """Gap-based sessionization (30-min inactivity) via lag + running sum."""
+    """Gap-based sessionization (30-min inactivity) via lag + running sum.
+
+    Gap measured in whole microseconds (timestamp_diff, which accepts
+    TIMESTAMP_NTZ and is timezone-naive like the DuckDB oracle's epoch_us) —
+    unix_timestamp would truncate fractional seconds and misclassify gaps
+    near the boundary.
+    """
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    marked = events.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    gap = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+    marked = events.withColumn("new_s", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
     return marked.select(
         "user_id", "event_id",
         F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_idx"),
@@ -695,8 +749,9 @@ def _oracle_token_stats() -> str:
 per AS (SELECT source, len(tk) AS n_ws,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
         FROM toks)
-SELECT source, count(*) AS n_docs, sum(n_ws) AS ws_tokens, sum(n_bpe) AS bpe_tokens,
-       round(avg(n_ws), 6) AS avg_ws_tokens6
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_ws) AS BIGINT) AS ws_tokens, CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+       CAST(round(avg(n_ws), 6) AS DOUBLE) AS avg_ws_tokens6
 FROM per GROUP BY 1"""
 
 
@@ -849,11 +904,11 @@ FROM events GROUP BY 1, 2"""
 
 def _oracle_events_sessionize() -> str:
     return """SELECT user_id, event_id,
-       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
-         OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
 FROM (
   SELECT user_id, event_id, ts,
-         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
   FROM events)"""
 
 
@@ -1076,11 +1131,15 @@ WHERE rk <= 3"""
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline on sf0.001-derived transcripts."""
+    _ensure_shipped(spark)
     return _q_kg_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {k: _shipping(fn) for k, fn in _QUERY_FNS.items()}
+
+
+_QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_mentions": _q_kg_mentions,
         "kg_candidates": _q_kg_candidates,
         "kg_facts": _q_kg_facts,

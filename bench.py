@@ -70,7 +70,9 @@ def main() -> None:
     t0 = time.time()
     # not persisted: the 15M-row x 16-col cache roughly doubles JVM cache
     # pressure for one extra cheap recompute from cached mentions
-    candidates = link.link_mentions(mentions, concepts, synonyms)
+    candidates = link.link_mentions(
+        mentions, concepts, synonyms, assume_all_direct=ontology.all_entries_linked(ont)
+    )
     n_candidates = candidates.count()
     timings["link"] = round(time.time() - t0, 3)
 

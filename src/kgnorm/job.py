@@ -61,7 +61,11 @@ def run_pipeline(
     mentions = checkpointed(
         "mentions", lambda: extract.extract_mentions_df(transcripts, dictionary, num_partitions)
     )
-    candidates = checkpointed("candidates", lambda: link.link_mentions(mentions, concepts, synonyms))
+    all_direct = ontology.all_entries_linked(ont)
+    candidates = checkpointed(
+        "candidates",
+        lambda: link.link_mentions(mentions, concepts, synonyms, assume_all_direct=all_direct),
+    )
     top = link.top_candidates(candidates)
     facts = checkpointed(
         "facts", lambda: facts_mod.build_facts(facts_mod.mention_facts_input(mentions, top))

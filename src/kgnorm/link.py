@@ -188,18 +188,28 @@ def map_terms(terms: DataFrame, concepts: DataFrame, synonyms: DataFrame, limit:
     )
 
 
-def link_mentions(mentions: DataFrame, concepts: DataFrame, synonyms: DataFrame, limit: int = LIMIT) -> DataFrame:
-    """Full linking stage: mentions → CANDIDATES-schema DataFrame."""
+def link_mentions(
+    mentions: DataFrame,
+    concepts: DataFrame,
+    synonyms: DataFrame,
+    limit: int = LIMIT,
+    assume_all_direct: bool = False,
+) -> DataFrame:
+    """Full linking stage: mentions → CANDIDATES-schema DataFrame.
+
+    ``assume_all_direct``: the caller asserts every dictionary entry carries
+    a concept id (checkable driver-side from the ontology object, zero Spark
+    jobs) so the cascade subtree can be skipped entirely.  AQE materializes
+    each cascade exchange as a separate job, so even an EMPTY cascade costs
+    ~10 scheduling rounds — but probing with ``isEmpty()`` would itself run
+    a full pass over the mention stream, which is worse at scale.
+    """
+    if assume_all_direct:
+        return direct_candidates(mentions)
+
     unlinked = mentions.filter(
         F.col("omop_concept_id").isNull() | (F.col("omop_concept_id") <= 0)
     ).withColumn("term", normalize_term(F.col("mention_text")))
-
-    # adaptive fast path: when every mention is dictionary-linked (the
-    # common case — the curated dictionary carries concept ids), skip the
-    # whole cascade subtree.  AQE materializes each cascade exchange as a
-    # separate job, so even an EMPTY cascade costs ~10 scheduling rounds.
-    if unlinked.isEmpty():
-        return direct_candidates(mentions)
 
     terms = unlinked.select("term").distinct()
     mapped_terms = map_terms(terms, concepts, synonyms, limit)

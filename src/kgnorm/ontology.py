@@ -134,6 +134,13 @@ def load_fixture_ontology(data_dir: str | None = None) -> Ontology:
     )
 
 
+def all_entries_linked(ontology: Ontology) -> bool:
+    """True when every dictionary entry carries a concept id — i.e. every
+    extracted mention takes the direct-candidate bypass and the linking
+    cascade can be skipped (driver-side check, zero Spark jobs)."""
+    return all(cid is not None and cid > 0 for _k, (_s, _d, cid) in ontology.dictionary)
+
+
 def concepts_df(spark: SparkSession, ontology: Ontology) -> DataFrame:
     return spark.createDataFrame(ontology.concepts, schema=schemas.CONCEPTS)
 

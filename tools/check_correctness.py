@@ -5,6 +5,15 @@ Runs each ``__spark_entry__.queries()`` entry on Spark and its
 compares row count, sorted column names, and an order-insensitive
 canonical value listing.  Exits nonzero on any mismatch.
 
+Deliberately emulates the driver harness:
+
+* the SparkSession is a PLAIN builder session — no kgnorm executor
+  PYTHONPATH — so queries must ship their own code (the r01 failure mode);
+* both result sets go through pandas (Spark ``toPandas``, DuckDB ``df()``)
+  and values are canonicalized type-sensitively, so a DuckDB HUGEINT that
+  pandas renders as float64 mismatches a Spark BIGINT (the r01
+  ``token_stats`` hash-fail mechanism).
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
@@ -29,17 +38,39 @@ TABLES = [
 def canon_val(v):
     if v is None:
         return "\0NULL"
-    if isinstance(v, bool):
-        return "true" if v else "false"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return repr(v)
-        return repr(v)
+            return "\0NULL"
+        return "f:" + repr(v)
+    if isinstance(v, bool):
+        return "b:" + ("true" if v else "false")
+    if isinstance(v, int):
+        return "i:" + str(v)
     if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
+        return "x:" + v.hex()
+    return "s:" + str(v)
+
+
+def _pandas_rows(df):
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        row = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+                row.append(None)
+            elif isinstance(v, np.integer):
+                row.append(int(v))
+            elif isinstance(v, np.floating):
+                row.append(float(v))
+            elif isinstance(v, np.bool_):
+                row.append(bool(v))
+            else:
+                row.append(v)
+        rows.append(row)
+    return rows
 
 
 def canon_rows(cols, rows):
@@ -51,12 +82,20 @@ def canon_rows(cols, rows):
 
 def main() -> None:
     import __spark_entry__ as entrymod
-    from kgnorm.session import get_spark
+    from pyspark.sql import SparkSession
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("check-correctness", master="local[8]", shuffle_partitions=8)
+    # plain session, like the driver harness: no kgnorm on executor path
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check-correctness")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -69,37 +108,42 @@ def main() -> None:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
-        scols = sdf.columns
+        try:
+            sdf = fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+        except Exception as e:
+            print(f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:500]}")
+            failures += 1
+            continue
+        scols = list(spdf.columns)
         if name not in oracles:
-            print(f"{name}: rows-only check — {len(srows)} rows")
+            print(f"{name}: rows-only check — {len(spdf)} rows")
             continue
         try:
-            ores = con.execute(oracles[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            opdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"{name}: ORACLE ERROR {e}")
             failures += 1
             continue
+        ocols = list(opdf.columns)
         ok = True
         if sorted(scols) != sorted(ocols):
             print(f"{name}: SCHEMA MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}")
             ok = False
-        if len(srows) != len(orows):
-            print(f"{name}: ROWCOUNT MISMATCH spark={len(srows)} oracle={len(orows)}")
+        if len(spdf) != len(opdf):
+            print(f"{name}: ROWCOUNT MISMATCH spark={len(spdf)} oracle={len(opdf)}")
             ok = False
         if ok:
-            sc = canon_rows(scols, [[r[c] for c in scols] for r in srows])
-            oc = canon_rows(ocols, orows)
+            sc = canon_rows(scols, _pandas_rows(spdf))
+            oc = canon_rows(ocols, _pandas_rows(opdf))
             if sc != oc:
-                diff_s = [x for x in sc if x not in set(oc)][:3]
-                diff_o = [x for x in oc if x not in set(sc)][:3]
+                oset, sset = set(oc), set(sc)
+                diff_s = [x for x in sc if x not in oset][:3]
+                diff_o = [x for x in oc if x not in sset][:3]
                 print(f"{name}: VALUE MISMATCH\n  spark-only: {diff_s}\n  oracle-only: {diff_o}")
                 ok = False
         if ok:
-            print(f"{name}: OK ({len(srows)} rows)")
+            print(f"{name}: OK ({len(spdf)} rows)")
         else:
             failures += 1
     spark.stop()
