@@ -34,7 +34,10 @@ if SRC not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from kgnorm import export, facts as facts_mod, graph, link, metrics, multimodal, normalize, ontology, rules, synth, textops, values, vecops
+from kgnorm import (
+    ensemble, export, facts as facts_mod, graph, link, metrics, multimodal,
+    normalize, ontology, patterns, pyvalues, rules, synth, textops, values, vecops,
+)
 from kgnorm.ac import build_automaton
 from kgnorm.extract import extract_mentions_df
 
@@ -126,6 +129,7 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict:
     facts = facts_mod.build_facts(facts_mod.mention_facts_input(mentions, top)).persist()
     out = {
         "transcripts": transcripts,
+        "dictionary": dictionary,
         "mentions": mentions,
         "candidates": candidates,
         "top": top,
@@ -424,6 +428,22 @@ def _q_kg_relations(spark, sf_dir):
 
 def _q_clinical_values(spark, sf_dir):
     return values.extract_values(_stages(spark, sf_dir)["transcripts"])
+
+
+def _q_pattern_entities(spark, sf_dir):
+    """Regex pattern extraction pipeline (extract → context → validate →
+    confidence filter; reference extraction_pipeline.py:694-757)."""
+    return patterns.pattern_entities_df(_stages(spark, sf_dir)["transcripts"])
+
+
+def _q_kg_ensemble_mentions(spark, sf_dir):
+    """Ensemble span-overlap merge of dictionary + pattern + value
+    extractors (reference nlp_ensemble.py:191-280)."""
+    s = _stages(spark, sf_dir)
+    return ensemble.ensemble_mentions_df(s["transcripts"], s["dictionary"]).select(
+        "conv_id", "turn_idx", "source", "mention_text", "lexical_variant",
+        "start_offset", "end_offset", "domain", "confidence",
+    )
 
 
 def _q_normalize_terms(spark, sf_dir):
@@ -1004,9 +1024,16 @@ FROM (SELECT conv_id, turn_idx,
              unnest(generate_series(1, len(regexp_extract_all(text, '{med}', 1)))) AS i
       FROM tt)""")
     unioned = "\nUNION ALL\n".join(parts)
+    unit_case = _case_map(pyvalues.UNIT_NORMALIZATION, "unit")
+    route_case = _case_map(values.ROUTE_CANONICAL, "route")
+    freq_case = _case_map(values.FREQUENCY_CANONICAL, "frequency")
     return f"""WITH {_turns_cte()}, {_templates_cte()},
 tt AS (SELECT t.conv_id, t.turn_idx, m.text FROM turns t JOIN tmpls m USING (tmpl))
-SELECT DISTINCT * FROM (
+SELECT DISTINCT *,
+       {unit_case} AS unit_normalized,
+       {route_case} AS route_normalized,
+       {freq_case} AS frequency_normalized
+FROM (
 {unioned}
 )"""
 
@@ -1014,6 +1041,78 @@ SELECT DISTINCT * FROM (
 def _case_map(mapping: dict, col: str) -> str:
     whens = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in mapping.items())
     return f"CASE lower({col}) {whens} ELSE lower({col}) END"
+
+
+_EXPECTED_PATTERN_ENTITIES = None
+
+
+def _expected_pattern_entities() -> list[tuple]:
+    """Pure-Python pattern pipeline over the 10 templates (the same
+    engine the Arrow UDF runs; semantics pinned by tests/test_patterns.py
+    against the reference)."""
+    global _EXPECTED_PATTERN_ENTITIES
+    if _EXPECTED_PATTERN_ENTITIES is None:
+        rows = []
+        for tmpl, text in enumerate(synth.note_templates()):
+            for e in patterns.pipeline_entities(text):
+                rows.append((
+                    tmpl, e.text, e.normalized_text, e.entity_type,
+                    e.start_offset, e.end_offset,
+                    float(e.base_confidence), float(e.final_confidence),
+                    e.assertion, e.section, e.value, e.unit,
+                ))
+        _EXPECTED_PATTERN_ENTITIES = rows
+    return _EXPECTED_PATTERN_ENTITIES
+
+
+def _oracle_pattern_entities() -> str:
+    cols = ("tmpl, entity_text, normalized_text, entity_type, start_offset,"
+            " end_offset, base_confidence, final_confidence, assertion,"
+            " section, value, unit")
+    return f"""WITH {_turns_cte()},
+pexp({cols}) AS (
+  VALUES {_values(_expected_pattern_entities())}
+)
+SELECT t.conv_id, t.turn_idx, p.entity_text, p.normalized_text, p.entity_type,
+       p.start_offset, p.end_offset,
+       cast(p.base_confidence AS double) AS base_confidence,
+       cast(p.final_confidence AS double) AS final_confidence,
+       p.assertion, p.section,
+       cast(p.value AS varchar) AS value, cast(p.unit AS varchar) AS unit
+FROM turns t JOIN pexp p USING (tmpl)"""
+
+
+_EXPECTED_ENSEMBLE = None
+
+
+def _expected_ensemble() -> list[tuple]:
+    """Pure-Python ensemble merge over the 10 templates (pinned by
+    tests/test_ensemble.py against the reference's merge semantics)."""
+    global _EXPECTED_ENSEMBLE
+    if _EXPECTED_ENSEMBLE is None:
+        auto = build_automaton(_ont().dictionary)
+        rows = []
+        for tmpl, text in enumerate(synth.note_templates()):
+            for m in ensemble.ensemble_for_text(text, auto):
+                rows.append((
+                    tmpl, m.source, m.text, m.lexical_variant,
+                    m.start_offset, m.end_offset, m.domain, float(m.confidence),
+                ))
+        _EXPECTED_ENSEMBLE = rows
+    return _EXPECTED_ENSEMBLE
+
+
+def _oracle_kg_ensemble_mentions() -> str:
+    cols = ("tmpl, source, mention_text, lexical_variant, start_offset,"
+            " end_offset, domain, confidence")
+    return f"""WITH {_turns_cte()},
+eexp({cols}) AS (
+  VALUES {_values(_expected_ensemble())}
+)
+SELECT t.conv_id, t.turn_idx, e.source, e.mention_text, e.lexical_variant,
+       e.start_offset, e.end_offset, e.domain,
+       cast(e.confidence AS double) AS confidence
+FROM turns t JOIN eexp e USING (tmpl)"""
 
 
 def _oracle_normalize_terms() -> str:
@@ -1166,6 +1265,8 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_tumbling": _q_events_tumbling,
         "events_sessionize": _q_events_sessionize,
         "clinical_values": _q_clinical_values,
+        "pattern_entities": _q_pattern_entities,
+        "kg_ensemble_mentions": _q_kg_ensemble_mentions,
         "normalize_terms": _q_normalize_terms,
         "kg_relations": _q_kg_relations,
         "kg_canonical_triples": _q_kg_canonical_triples,
@@ -1203,6 +1304,8 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling": _oracle_events_tumbling(),
         "events_sessionize": _oracle_events_sessionize(),
         "clinical_values": _oracle_clinical_values(),
+        "pattern_entities": _oracle_pattern_entities(),
+        "kg_ensemble_mentions": _oracle_kg_ensemble_mentions(),
         "normalize_terms": _oracle_normalize_terms(),
         "kg_relations": _oracle_kg_relations(),
         "kg_canonical_triples": _oracle_kg_canonical_triples(),

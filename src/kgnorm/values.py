@@ -18,7 +18,44 @@ Pattern notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from itertools import chain
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from kgnorm.pyvalues import UNIT_NORMALIZATION
+
+# canonical forms for the route / frequency tokens MED_PATTERN can capture
+# (subset of value_extraction.py:223-275 keyed by the raw captured token;
+# the full pattern-based canonicalizer lives in kgnorm.pyvalues)
+ROUTE_CANONICAL = {
+    "po": "oral", "iv": "intravenous", "im": "intramuscular",
+    "sc": "subcutaneous", "sl": "sublingual",
+}
+FREQUENCY_CANONICAL = {
+    "qd": "daily", "daily": "daily", "once daily": "daily",
+    "bid": "twice daily", "twice daily": "twice daily",
+    "tid": "three times daily", "qid": "four times daily",
+    "prn": "as needed", "at bedtime": "at bedtime",
+    "hs": "at bedtime", "qhs": "at bedtime",
+}
+
+
+def _map_col(mapping: dict[str, str]) -> Column:
+    return F.create_map(*[F.lit(x) for x in chain.from_iterable(mapping.items())])
+
+
+def normalize_unit_col(col) -> Column:
+    """Spark-native unit canonicalization (value_extraction.py:482-488):
+    table hit → canonical form, else identity."""
+    return F.coalesce(F.element_at(_map_col(UNIT_NORMALIZATION), F.lower(col)), col)
+
+
+def normalize_route_col(col) -> Column:
+    return F.coalesce(F.element_at(_map_col(ROUTE_CANONICAL), F.lower(col)), col)
+
+
+def normalize_frequency_col(col) -> Column:
+    return F.coalesce(F.element_at(_map_col(FREQUENCY_CANONICAL), F.lower(col)), col)
 
 # (kind, name, pattern, value_group, unit_group_or_none, fixed_unit)
 # value_extraction.py:304-478; name None → captured by group 1
@@ -127,4 +164,12 @@ def extract_values(transcripts: DataFrame) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # canonical unit/route/frequency columns (value_extraction.py:482-507);
+    # literal-map lookups — constant-folded, no join, no UDF
+    out = out.select(
+        "*",
+        normalize_unit_col(F.col("unit")).alias("unit_normalized"),
+        normalize_route_col(F.col("route")).alias("route_normalized"),
+        normalize_frequency_col(F.col("frequency")).alias("frequency_normalized"),
+    )
     return out.distinct()
