@@ -352,8 +352,13 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
     return textops.minhash_lsh_pairs(_docs(spark, sf_dir), k=8, bands=4)
 
 
+JACCARD_DF_MAX = 100
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
-    return textops.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return textops.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.5, df_max=JACCARD_DF_MAX
+    )
 
 
 def _q_simhash(spark, sf_dir):
@@ -815,10 +820,12 @@ WHERE a.doc_id < b.doc_id"""
 
 def _oracle_ngram_jaccard_pairs() -> str:
     return f"""WITH {_TOKS_CTE}, {_SHINGLES_CTE},
-counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {JACCARD_DF_MAX}),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY 1),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-  FROM sh a JOIN sh b USING (shingle)
+  FROM shf a JOIN shf b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT s.doc_a, s.doc_b, s.shared, ca.n_sh AS n_a, cb.n_sh AS n_b,
@@ -858,26 +865,45 @@ ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC
 SELECT query_id, vec_id, cos6, cast(rk AS int) AS rk FROM ranked WHERE rk <= 5"""
 
 
+ANN_BITS = 32
+ANN_BANDS = 4
+
+
 def _oracle_ann_lsh_topk() -> str:
-    planes = vecops.hyperplanes(EMB_DIM, 4)
+    planes = vecops.hyperplanes(EMB_DIM, ANN_BITS)
     plane_lits = [
         "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in p) + "]" for p in planes
     ]
-    bits = " || ".join(
+    bit_exprs = [
         f"(CASE WHEN {_DOT.format(a='emb', b=pl)} >= 0 THEN '1' ELSE '0' END)"
         for pl in plane_lits
-    )
+    ]
+    per_band = ANN_BITS // ANN_BANDS
+    band_selects = []
+    for b in range(ANN_BANDS):
+        band_bits = " || ".join(bit_exprs[b * per_band:(b + 1) * per_band])
+        band_selects.append(
+            f"SELECT vec_id, emb, {b} AS band_idx, {band_bits} AS band_bucket FROM base"
+        )
+    banded = "\n  UNION ALL\n  ".join(band_selects)
     dot_qe = _DOT.format(a="q.q_emb", b="e.emb")
     nq = "sqrt(" + _DOT.format(a="q.q_emb", b="q.q_emb") + ")"
     ne = "sqrt(" + _DOT.format(a="e.emb", b="e.emb") + ")"
     return f"""WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
-bucketed AS (SELECT vec_id, emb, {bits} AS bucket FROM base),
-q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket FROM bucketed WHERE vec_id < 10),
+banded AS (
+  {banded}
+),
+qb AS (SELECT vec_id AS query_id, band_idx, band_bucket FROM banded WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT qb.query_id, e.vec_id
+  FROM banded e JOIN qb USING (band_idx, band_bucket)
+  WHERE e.vec_id <> qb.query_id),
+qe AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id < 10),
 scored AS (
-  SELECT q.query_id, e.vec_id,
+  SELECT c.query_id, c.vec_id,
          round({dot_qe} / ({nq} * {ne}), 6) AS cos6
-  FROM bucketed e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id),
+  FROM cand c JOIN base e ON e.vec_id = c.vec_id JOIN qe q ON q.query_id = c.query_id),
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id ASC) AS rk FROM scored)
 SELECT query_id, vec_id, cos6, cast(rk AS int) AS rk FROM ranked WHERE rk <= 5"""
 

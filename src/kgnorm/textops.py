@@ -106,14 +106,34 @@ def minhash_lsh_pairs(documents: DataFrame, k: int = 8, bands: int = 4, shingle_
     )
 
 
-def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3, threshold: float = 0.7) -> DataFrame:
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    df_max: int | None = None,
+) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via shingle-inverted-index join.
 
     |A∩B| from the shingle self-join, |A|,|B| from per-doc counts;
     jaccard = shared / (|A| + |B| - shared).  The shingle join is the
     classic inverted-index block join — no O(n²) pair enumeration.
+
+    ``df_max`` (document-frequency cap): a boilerplate shingle shared by
+    m documents contributes m² rows to the self-join — one hot shingle in
+    10⁶ docs is a 10¹² blow-up (VERDICT r01).  With ``df_max`` set, hot
+    shingles are dropped from BOTH the intersection and the per-doc union
+    counts (standard df/prefix filtering), so the jaccard stays internally
+    consistent over the filtered shingle space; use
+    :func:`hot_shingle_stats` to report how many were dropped.
     """
     sh = documents.select("doc_id", F.explode(word_shingles(F.col("text"), shingle_n)).alias("shingle"))
+    if df_max is not None:
+        keep = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_max)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -129,6 +149,19 @@ def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3, threshold: flo
         .withColumn("jaccard", F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "shared", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard6"))
+    )
+
+
+def hot_shingle_stats(documents: DataFrame, shingle_n: int = 3, df_max: int = 100) -> DataFrame:
+    """Drop-metrics companion to the ``df_max`` cap: one row
+    ``(n_shingles, n_hot, max_df)`` so callers can log what a given cap
+    would exclude before running the pair join."""
+    sh = documents.select("doc_id", F.explode(word_shingles(F.col("text"), shingle_n)).alias("shingle"))
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("df") > df_max, 1).otherwise(0)).alias("n_hot"),
+        F.max("df").alias("max_df"),
     )
 
 

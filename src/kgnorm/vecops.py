@@ -56,13 +56,23 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> DataF
     )
 
 
+def _plane_component(i: int, j: int) -> float:
+    """Avalanche integer hash → uniform-ish component in [-1, 1].
+
+    Deterministic (no RNG dependency — reproducible across engines and
+    runs) yet well-mixed, so the 32 planes are near-independent; the old
+    linear-congruence formula produced visibly correlated planes, which
+    wrecks banded-LSH recall."""
+    x = (i * 40503 + j * 2654435761 + 0x9E3779B9) & 0xFFFFFFFF
+    x ^= x >> 16
+    x = (x * 0x45D9F3B) & 0xFFFFFFFF
+    x ^= x >> 16
+    return (x % 2001 - 1000) / 1000.0
+
+
 def hyperplanes(dim: int, n_planes: int = 4) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (no RNG dependency —
-    reproducible across engines and runs)."""
-    return [
-        [float(((i * 7 + j * 13 + i * j) % 11) - 5) for i in range(dim)]
-        for j in range(n_planes)
-    ]
+    """Deterministic pseudo-random hyperplanes."""
+    return [[_plane_component(i, j) for i in range(dim)] for j in range(n_planes)]
 
 
 def lsh_buckets(embeddings: DataFrame, dim: int, n_planes: int = 4) -> DataFrame:
@@ -76,13 +86,62 @@ def lsh_buckets(embeddings: DataFrame, dim: int, n_planes: int = 4) -> DataFrame
     return base.select("vec_id", "emb", F.concat(*bits).alias("bucket"))
 
 
-def ann_lsh_topk(embeddings: DataFrame, dim: int, n_queries: int = 10, k: int = 5, n_planes: int = 4) -> DataFrame:
-    """Approximate top-k: score only candidates sharing the query's bucket."""
-    bucketed = lsh_buckets(embeddings, dim, n_planes)
-    q = bucketed.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), "bucket"
+def lsh_bands(embeddings: DataFrame, dim: int, n_bits: int = 32, bands: int = 4) -> DataFrame:
+    """Banded sign-bit LSH: ``n_bits`` hyperplane bits split into
+    ``bands`` bands of ``n_bits/bands`` bits each; one row per (vector,
+    band).  OR-amplification: two vectors are candidates if ANY band
+    matches — the same banding the MinHash path uses.
+
+    Scale rationale (VERDICT r01): a single b-bit bucket puts ~n/2^b of
+    the corpus in each candidate set, so few bits ≈ a disguised cross
+    join.  With bands of 8 bits each, per-band buckets hold ~n/256 and
+    recall is amplified across 4 independent bands instead of relying on
+    one coarse code.
+    """
+    bits_per_band = n_bits // bands
+    base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    planes = hyperplanes(dim, n_bits)
+    bits = [
+        F.when(_dot(F.col("emb"), F.array(*[F.lit(v) for v in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat(*bits[b * bits_per_band:(b + 1) * bits_per_band]).alias("band_bucket"),
+        )
+        for b in range(bands)
+    ]
+    return base.select(
+        "vec_id", "emb", F.explode(F.array(*band_structs)).alias("band")
+    ).select("vec_id", "emb", F.col("band.band_idx").alias("band_idx"),
+             F.col("band.band_bucket").alias("band_bucket"))
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    dim: int,
+    n_queries: int = 10,
+    k: int = 5,
+    n_bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """Approximate top-k over OR-amplified banded LSH candidates.
+
+    Plan: band join (query side broadcast) → distinct candidate pairs →
+    score JVM-side → per-query top-k window.  The only shuffles are the
+    candidate distinct and the rank window, both keyed on query_id."""
+    banded = lsh_bands(embeddings, dim, n_bits, bands)
+    q = banded.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"),
+        "band_idx", "band_bucket",
     )
-    cands = bucketed.join(F.broadcast(q), "bucket").filter(F.col("vec_id") != F.col("query_id"))
+    cands = (
+        banded.join(F.broadcast(q), ["band_idx", "band_bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "vec_id", "emb")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
     scored = cands.select(
         "query_id",
         "vec_id",

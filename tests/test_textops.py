@@ -83,3 +83,28 @@ def test_fingerprints(spark, docs):
     assert fp[0].minshingle_fp == fp[1].minshingle_fp
     assert fp[0].content_fp != fp[4].content_fp
     assert fp[5].minshingle_fp is not None  # degenerate short doc falls back
+
+
+def test_ngram_jaccard_df_cap_bounds_candidates(spark):
+    # skewed corpus: one boilerplate shingle shared by every doc; with the
+    # df cap the hot shingle is dropped from the inverted index and the
+    # join produces no quadratic pair blow-up (VERDICT r01 scale fix)
+    rows = [(i, f"standard header boilerplate line unique{i} tail{i} extra{i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = textops.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    capped = textops.ngram_jaccard_pairs(docs, threshold=0.0, df_max=10).collect()
+    assert len(uncapped) == 30 * 29 // 2  # every pair shares the boilerplate
+    assert len(capped) == 0               # hot shingles dropped -> no pairs
+    stats = textops.hot_shingle_stats(docs, df_max=10).collect()[0]
+    assert stats.n_hot >= 1 and stats.max_df == 30
+
+
+def test_ngram_jaccard_df_cap_keeps_cold_pairs(spark):
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),
+        (2, "unrelated words entirely here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.jaccard6 for r in textops.ngram_jaccard_pairs(docs, threshold=0.5, df_max=10).collect()}
+    assert got == {(0, 1): 1.0}

@@ -76,16 +76,64 @@ def test_lsh_bucket_properties(spark, embeddings):
     assert by_id[0] == by_id[41]  # identical vectors share every bucket
 
 
-def test_ann_recall_vs_bruteforce(spark, embeddings):
-    exact = vecops.cosine_topk(embeddings, n_queries=5, k=3).collect()
+def test_ann_finds_identical_copy(spark, embeddings):
     approx = vecops.ann_lsh_topk(embeddings, DIM, n_queries=5, k=3).collect()
-    exact_set = {(r.query_id, r.vec_id) for r in exact}
     approx_set = {(r.query_id, r.vec_id) for r in approx}
-    # identical-copy neighbor is always found (same bucket by construction)
+    # identical-copy neighbor is always found (every band matches)
     assert (0, 41) in approx_set
-    # approx results are a plausible subset: every approx hit must score
-    # within the exact top-10
-    exact10 = {(r.query_id, r.vec_id) for r in vecops.cosine_topk(embeddings, 5, 10).collect()}
-    assert approx_set <= exact10 | approx_set
-    recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.3  # 4-plane LSH on random 8-dim data is coarse
+
+
+def test_ann_recall_at_operating_point(spark):
+    """Banded LSH is designed for high-similarity retrieval (near-dups):
+    plant noisy copies of each query and require ≥0.8 recall on them."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(10):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(DIM)], 0))
+    # 3 noisy near-copies per query (cosine ≈ 0.99)
+    nid = 100
+    planted = {}
+    for q in range(10):
+        planted[q] = []
+        for _ in range(3):
+            noisy = [x + rng.uniform(-0.02, 0.02) for x in rows[q][1]]
+            rows.append((nid, noisy, 0))
+            planted[q].append(nid)
+            nid += 1
+    # background noise vectors
+    for i in range(200, 260):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(DIM)], 0))
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    approx = vecops.ann_lsh_topk(df, DIM, n_queries=10, k=3).collect()
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    want = {(q, v) for q, vs in planted.items() for v in vs}
+    recall = len(want & approx_set) / len(want)
+    assert recall >= 0.8, f"recall {recall}"
+
+
+def test_banded_lsh_shapes(spark, embeddings):
+    b = vecops.lsh_bands(embeddings, DIM, n_bits=32, bands=4).collect()
+    # 41 vectors x 4 bands
+    assert len(b) == 41 * 4
+    assert all(len(r.band_bucket) == 8 and set(r.band_bucket) <= {"0", "1"} for r in b)
+    by_key = {(r.vec_id, r.band_idx): r.band_bucket for r in b}
+    # identical vectors share every band
+    for band in range(4):
+        assert by_key[(0, band)] == by_key[(41, band)]
+
+
+def test_banded_ann_no_duplicate_candidates(spark, embeddings):
+    got = vecops.ann_lsh_topk(embeddings, DIM, n_queries=3, k=50).collect()
+    seen = set()
+    for r in got:
+        assert (r.query_id, r.vec_id) not in seen  # OR-amplification deduped
+        seen.add((r.query_id, r.vec_id))
