@@ -304,6 +304,33 @@ def _q_link_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# terms for the semantic tier: misspellings / paraphrases the exact and
+# prefix cascade tiers cannot match (shared-char-trigram retrieval)
+_SEMANTIC_TERMS = [
+    "hypertention",          # misspelling of hypertension
+    "diabetis mellitus",     # misspelling
+    "atril fibrillation",    # misspelling
+    "asprin",                # misspelling
+    "heart failure",         # exact name (cos 1.0 sanity row)
+    "myocardial infraction", # misspelling
+    "zz",                    # no trigram overlap
+]
+
+
+def _q_link_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding) linking tier (hybrid_search.py:195-268):
+    cosine ≥ 0.6 against the broadcast concept-embedding matrix, score ×
+    0.85, top-10 per term."""
+    from kgnorm import semantic
+
+    terms = spark.createDataFrame([(t,) for t in _SEMANTIC_TERMS], ["term"])
+    emb = semantic.concept_embeddings(spark, _ont().concepts)
+    return semantic.semantic_candidates(terms, emb).select(
+        "term", F.col("concept_id").cast("long").alias("concept_id"),
+        "concept_name", "vocabulary_id", "domain_id", "score", "method", "rank",
+    )
+
+
 def _q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgnorm import canon
 
@@ -433,6 +460,31 @@ def _q_kg_relations(spark, sf_dir):
 
 def _q_clinical_values(spark, sf_dir):
     return values.extract_values(_stages(spark, sf_dir)["transcripts"])
+
+
+def _q_pattern_relations(spark, sf_dir):
+    """Regex-template relations (full ALL_PATTERNS set), deduped."""
+    from kgnorm import relations
+
+    rel = relations.pattern_relations(_stages(spark, sf_dir)["transcripts"])
+    return relations.dedup_relations(rel).select(
+        "conv_id", "source_text", "target_text", "relation_type",
+        "confidence", "first_turn_idx", "method",
+        F.coalesce(F.col("source_domain"), F.lit("")).alias("source_domain"),
+        "target_domain",
+    )
+
+
+def _q_treats_edges(spark, sf_dir):
+    """condition_treated_by / drug_treats KG edges from proximity 'treats'
+    relations linked through the candidate table."""
+    from kgnorm import relations
+
+    s = _stages(spark, sf_dir)
+    rel = relations.dedup_relations(relations.proximity_relations(s["mentions"], s["transcripts"]))
+    return relations.treats_edges(rel, s["top"]).select(
+        "conv_id", "source_concept_id", "target_concept_id", "edge_type", "confidence",
+    )
 
 
 def _q_pattern_entities(spark, sf_dir):
@@ -678,6 +730,44 @@ SELECT term, cast(concept_id AS bigint) AS concept_id, concept_name, vocabulary_
             THEN lower(domain_id) ELSE 'observation' END AS domain_id,
        cast(score AS double) AS score, method, cast(rank AS int) AS rank
 FROM ranked WHERE rank <= 5"""
+
+
+def _oracle_link_semantic() -> str:
+    from kgnorm import semantic
+
+    def emb_lit(vec: list[float]) -> str:
+        return "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + "]"
+
+    concept_rows = ",\n    ".join(
+        f"({c['concept_id']}, {_lit(c['concept_name'])}, {_lit(c.get('vocabulary_id'))},"
+        f" {_lit(c.get('domain_id'))}, {emb_lit(semantic.hash_embed(c['concept_name']))})"
+        for c in _ont().concepts
+    )
+    term_rows = ",\n    ".join(
+        f"({_lit(t)}, {emb_lit(semantic.hash_embed(t))})" for t in _SEMANTIC_TERMS
+    )
+    dot_qe = _DOT.format(a="t.q_emb", b="c.emb")
+    nq = "sqrt(" + _DOT.format(a="t.q_emb", b="t.q_emb") + ")"
+    nc = "sqrt(" + _DOT.format(a="c.emb", b="c.emb") + ")"
+    return f"""WITH cemb(concept_id, concept_name, vocabulary_id, domain_id, emb) AS (
+  VALUES {concept_rows}),
+temb(term, q_emb) AS (VALUES {term_rows}),
+scored AS (
+  SELECT t.term, c.concept_id, c.concept_name, c.vocabulary_id, c.domain_id,
+         {dot_qe} / ({nq} * {nc}) AS cos
+  FROM temb t CROSS JOIN cemb c
+  WHERE {nq} > 0 AND {nc} > 0),
+thresh AS (
+  SELECT term, concept_id, concept_name, vocabulary_id, domain_id,
+         round(cos * CAST(0.85 AS DOUBLE), 6) AS score
+  FROM scored WHERE cos >= CAST(0.6 AS DOUBLE)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY term ORDER BY score DESC, concept_id ASC) AS rank
+  FROM thresh)
+SELECT term, cast(concept_id AS bigint) AS concept_id, concept_name,
+       vocabulary_id, domain_id, cast(score AS double) AS score,
+       'semantic' AS method, cast(rank AS int) AS rank
+FROM ranked WHERE rank <= 10"""
 
 
 def _oracle_kg_canonical() -> str:
@@ -958,7 +1048,9 @@ FROM (
   FROM events)"""
 
 
-def _oracle_kg_relations() -> str:
+def _proximity_rels_fragment() -> str:
+    """Shared CTE chain m → pairs → rels (proximity relations) for the
+    kg_relations and treats_edges oracles."""
     from kgnorm import relations as rel_mod
 
     rule_selects = []
@@ -971,8 +1063,7 @@ FROM pairs
 WHERE source_domain = '{src_dom}' AND target_domain = '{tgt_dom}'
   AND (({kw}) OR distance < {rel_mod.CLOSE_DISTANCE})""")
     unioned = "\nUNION ALL\n".join(rule_selects)
-    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_templates_cte()},
-m AS (
+    return f"""m AS (
   SELECT t.conv_id, t.turn_idx, t.tmpl, e.mention_text, e.start_offset, e.end_offset,
          lower(coalesce(e.domain_hint, 'observation')) AS dom
   FROM turns t JOIN exp e USING (tmpl)),
@@ -991,7 +1082,12 @@ pairs AS (
   JOIN tmpls tm ON tm.tmpl = a.tmpl),
 rels AS (
 {unioned}
-)
+)"""
+
+
+def _oracle_kg_relations() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_templates_cte()},
+{_proximity_rels_fragment()}
 SELECT conv_id, source_text, target_text, relation_type,
        max(confidence) AS confidence,
        min(turn_idx) AS first_turn_idx,
@@ -999,6 +1095,89 @@ SELECT conv_id, source_text, target_text, relation_type,
        arg_min(source_domain, turn_idx) AS source_domain,
        arg_min(target_domain, turn_idx) AS target_domain
 FROM rels
+GROUP BY 1, 2, 3, 4"""
+
+
+def _oracle_pattern_relations() -> str:
+    from kgnorm import relations as rel_mod
+
+    parts = []
+    for pattern, src_dom, tgt_dom, rel_type in rel_mod.PATTERN_RULES:
+        p = pattern.replace("'", "''")
+        if src_dom is None:
+            parts.append(f"""SELECT conv_id, turn_idx, '' AS source_text,
+  cast(NULL AS varchar) AS source_domain,
+  trim(unnest(regexp_extract_all(text, '{p}', 1))) AS target_text,
+  '{tgt_dom}' AS target_domain, '{rel_type}' AS relation_type,
+  CAST(0.7 AS DOUBLE) AS confidence
+FROM tt""")
+        else:
+            parts.append(f"""SELECT conv_id, turn_idx, trim(l1[i]) AS source_text,
+  '{src_dom}' AS source_domain, trim(l2[i]) AS target_text,
+  '{tgt_dom}' AS target_domain, '{rel_type}' AS relation_type,
+  CAST(0.7 AS DOUBLE) AS confidence
+FROM (SELECT conv_id, turn_idx,
+             regexp_extract_all(text, '{p}', 1) AS l1,
+             regexp_extract_all(text, '{p}', 2) AS l2,
+             unnest(generate_series(1, len(regexp_extract_all(text, '{p}', 1)))) AS i
+      FROM tt)""")
+    unioned = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_turns_cte()}, {_templates_cte()},
+tt AS (SELECT t.conv_id, t.turn_idx, m.text FROM turns t JOIN tmpls m USING (tmpl)),
+rels AS (
+SELECT * FROM (
+{unioned}
+) WHERE length(target_text) >= 2
+)
+SELECT conv_id, source_text, target_text, relation_type,
+       max(confidence) AS confidence,
+       min(turn_idx) AS first_turn_idx,
+       arg_min('pattern', turn_idx) AS method,
+       coalesce(arg_min(source_domain, turn_idx), '') AS source_domain,
+       arg_min(target_domain, turn_idx) AS target_domain
+FROM rels
+GROUP BY 1, 2, 3, 4"""
+
+
+def _oracle_treats_edges() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_templates_cte()},
+{_proximity_rels_fragment()},
+dedup AS (
+  SELECT conv_id, source_text, target_text, relation_type,
+         max(confidence) AS confidence
+  FROM rels GROUP BY 1, 2, 3, 4),
+cands AS (
+  SELECT conv_id, txt, min(cid) AS cid, arg_min(dom, cid) AS dom
+  FROM (
+    SELECT DISTINCT t.conv_id, lower(e.mention_text) AS txt,
+           cast(e.omop_concept_id AS bigint) AS cid,
+           coalesce(lower(e.domain_hint), 'observation') AS dom
+    FROM turns t JOIN exp e USING (tmpl) WHERE e.omop_concept_id > 0)
+  GROUP BY 1, 2),
+treats AS (SELECT * FROM dedup WHERE relation_type = 'treats'),
+linked AS (
+  SELECT t.conv_id, t.confidence,
+         s.cid AS src_concept, s.dom AS src_dom,
+         d.cid AS dst_concept, d.dom AS dst_dom
+  FROM treats t
+  JOIN cands s ON s.conv_id = t.conv_id AND s.txt = lower(t.source_text)
+  JOIN cands d ON d.conv_id = t.conv_id AND d.txt = lower(t.target_text)),
+drug_treats AS (
+  SELECT conv_id, src_concept AS source_concept_id, dst_concept AS target_concept_id,
+         'drug_treats' AS edge_type, confidence
+  FROM linked WHERE src_dom = 'drug' AND dst_dom = 'condition'
+  UNION ALL
+  SELECT conv_id, dst_concept, src_concept, 'drug_treats', confidence
+  FROM linked WHERE src_dom = 'condition' AND dst_dom = 'drug'),
+all_edges AS (
+  SELECT * FROM drug_treats
+  UNION ALL
+  SELECT conv_id, target_concept_id, source_concept_id,
+         'condition_treated_by', confidence
+  FROM drug_treats)
+SELECT conv_id, source_concept_id, target_concept_id, edge_type,
+       max(confidence) AS confidence
+FROM all_edges
 GROUP BY 1, 2, 3, 4"""
 
 
@@ -1273,6 +1452,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_nodes": _q_kg_nodes,
         "omop_note_nlp": _q_omop_note_nlp,
         "link_cascade": _q_link_cascade,
+        "link_semantic": _q_link_semantic,
         "kg_canonical": _q_kg_canonical,
         "rank_topk_orders": _q_rank_topk_orders,
         "dedup_exact": _q_dedup_exact,
@@ -1295,6 +1475,8 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_ensemble_mentions": _q_kg_ensemble_mentions,
         "normalize_terms": _q_normalize_terms,
         "kg_relations": _q_kg_relations,
+        "pattern_relations": _q_pattern_relations,
+        "treats_edges": _q_treats_edges,
         "kg_canonical_triples": _q_kg_canonical_triples,
         "kg_positive_facts": _q_kg_positive_facts,
         "pricing_summary": _q_pricing_summary,
@@ -1312,6 +1494,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes": _oracle_kg_nodes(),
         "omop_note_nlp": _oracle_omop_note_nlp(),
         "link_cascade": _oracle_link_cascade(),
+        "link_semantic": _oracle_link_semantic(),
         "kg_canonical": _oracle_kg_canonical(),
         "rank_topk_orders": _oracle_rank_topk_orders(),
         "dedup_exact": _oracle_dedup_exact(),
@@ -1334,6 +1517,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_ensemble_mentions": _oracle_kg_ensemble_mentions(),
         "normalize_terms": _oracle_normalize_terms(),
         "kg_relations": _oracle_kg_relations(),
+        "pattern_relations": _oracle_pattern_relations(),
+        "treats_edges": _oracle_treats_edges(),
         "kg_canonical_triples": _oracle_kg_canonical_triples(),
         "kg_positive_facts": _oracle_kg_positive_facts(),
         "pricing_summary": _oracle_pricing_summary(),

@@ -134,6 +134,31 @@ def load_fixture_ontology(data_dir: str | None = None) -> Ontology:
     )
 
 
+def enhanced_dictionary(ontology: Ontology) -> list[tuple[str, tuple[str, str, int]]]:
+    """Dictionary with synonym-expansion set union applied
+    (vocabulary_enhanced.py:229-295 via :mod:`kgnorm.expand`).
+
+    Each entry's surface key set grows by its abbreviation expansions and
+    spelling variations; expanded keys inherit the source entry's
+    (domain, concept_id) and the ORIGINAL first-wins priority: an
+    expansion never displaces a key some earlier entry already claimed.
+    """
+    from kgnorm.expand import expand_synonyms
+
+    out: list[tuple[str, tuple[str, str, int]]] = []
+    seen: set[str] = set()
+    for key, (syn, domain, concept_id) in ontology.dictionary:
+        if key not in seen:
+            seen.add(key)
+            out.append((key, (syn, domain, concept_id)))
+        for exp in expand_synonyms([key]):
+            k = exp.lower()
+            if k not in seen:
+                seen.add(k)
+                out.append((k, (exp, domain, concept_id)))
+    return out
+
+
 def all_entries_linked(ontology: Ontology) -> bool:
     """True when every dictionary entry carries a concept id — i.e. every
     extracted mention takes the direct-candidate bypass and the linking

@@ -45,22 +45,53 @@ DOMAIN_RULES = [
     ("procedure", "condition", "performed_for", ["for", "to treat", "performed"]),
 ]
 
-# (pattern, source_domain, target_domain, relation_type) — a representative
-# subset of ALL_PATTERNS (:96-186) expressed in Java/RE2-common syntax
-PATTERN_RULES = [
-    (r"(?i)started\s+(?:on\s+)?(\w+(?:\s+\w+)?)\s+for\s+(\w+(?:\s+\w+)*)",
-     "drug", "condition", "prescribed_for"),
-    (r"(?i)continue\s+(\w+(?:\s+\w+)?)\s+for\s+(\w+(?:\s+\w+)*)",
+# (pattern, source_domain, target_domain, relation_type) — the FULL
+# ALL_PATTERNS set (relation_extraction.py:96-186), regex bodies verbatim
+# with an inline (?i) (the reference passes re.IGNORECASE); the
+# ``allergic to`` pattern has one capture group and a None source domain
+# (reference :268-271: source_text = "").  All constructs are common to
+# Java (Spark) and RE2 (DuckDB oracle).
+PATTERN_RULES: list[tuple[str, str | None, str, str]] = [
+    # TREATMENT_PATTERNS (:96-128)
+    (r"(?i)(\b\w+(?:\s+\w+)?\b)\s+(?:for|to\s+treat|for\s+treatment\s+of)\s+(\b\w+(?:\s+\w+)*\b)",
      "drug", "condition", "treats"),
-    (r"(?i)(\w+(?:\s+\w+)*),?\s+(?:treated|managed)\s+(?:with|on)\s+(\w+(?:\s+\w+)?)",
+    (r"(?i)started\s+(?:on\s+)?(\b\w+(?:\s+\w+)?\b)\s+for\s+(\b\w+(?:\s+\w+)*\b)",
+     "drug", "condition", "prescribed_for"),
+    (r"(?i)continue\s+(\b\w+(?:\s+\w+)?\b)\s+for\s+(\b\w+(?:\s+\w+)*\b)",
+     "drug", "condition", "treats"),
+    (r"(?i)(\b\w+(?:\s+\w+)*\b)\s*[-–:]\s*(?:start|continue|on)\s+(\b\w+(?:\s+\w+)?\b)",
      "condition", "drug", "treats"),
-    (r"(?i)(\w+(?:\s+\w+)*),?\s+(?:controlled|stable)\s+(?:on|with)\s+(\w+(?:\s+\w+)?)",
+    (r"(?i)(?:patient\s+)?on\s+(\b\w+(?:\s+\w+)?\b)\s+for\s+(?:his|her|their\s+)?(\b\w+(?:\s+\w+)*\b)",
+     "drug", "condition", "treats"),
+    (r"(?i)(\b\w+(?:\s+\w+)*\b),?\s+(?:treated|managed)\s+(?:with|on)\s+(\b\w+(?:\s+\w+)?\b)",
      "condition", "drug", "treats"),
-    (r"(?i)(\w+(?:\s+\w+)*)\s+(?:suggestive\s+of|consistent\s+with|indicative\s+of|concerning\s+for)\s+(\w+(?:\s+\w+)*)",
-     "observation", "condition", "indicates"),
-    (r"(?i)(\w+(?:\s+\w+)?)\s+(?:shows?|revealed?|demonstrates?|confirms?)\s+(\w+(?:\s+\w+)*)",
+    (r"(?i)(\b\w+(?:\s+\w+)*\b),?\s+(?:controlled|stable)\s+(?:on|with)\s+(\b\w+(?:\s+\w+)?\b)",
+     "condition", "drug", "treats"),
+    (r"(?i)(\b\w+(?:\s+\w+)*\b),?\s+on\s+(\b\w+(?:\s+\w+)?\b)",
+     "condition", "drug", "treats"),
+    # ADVERSE_PATTERNS (:130-143)
+    (r"(?i)(\b\w+(?:\s+\w+)?\b)\s+(?:caused?|causing|leads?\s+to|resulted?\s+in)\s+(\b\w+(?:\s+\w+)*\b)",
+     "drug", "condition", "causes"),
+    (r"(?i)(\b\w+(?:\s+\w+)*\b)\s+(?:from|due\s+to|secondary\s+to)\s+(\b\w+(?:\s+\w+)?\b)",
+     "condition", "drug", "caused_by"),
+    (r"(?i)allergic\s+(?:to|reaction\s+to)\s+(\b\w+(?:\s+\w+)?\b)",
+     None, "drug", "contraindicated_for"),
+    # DIAGNOSTIC_PATTERNS (:145-158)
+    (r"(?i)(\b\w+(?:\s+\w+)?\b)\s+(?:shows?|revealed?|demonstrates?|confirms?)\s+(\b\w+(?:\s+\w+)*\b)",
      "measurement", "condition", "diagnoses"),
-    (r"(?i)(\w+)\s+(pain|mass|lesion|tumor|infection|inflammation|swelling)",
+    (r"(?i)(\b\w+(?:\s+\w+)*\b)\s+(?:diagnosed\s+(?:by|with|on)|confirmed\s+(?:by|on))\s+(\b\w+(?:\s+\w+)?\b)",
+     "condition", "measurement", "diagnoses"),
+    (r"(?i)(\b\w+(?:\s+\w+)*\b)\s+(?:suggestive\s+of|consistent\s+with|indicative\s+of|concerning\s+for)\s+(\b\w+(?:\s+\w+)*\b)",
+     "observation", "condition", "indicates"),
+    # PROCEDURE_PATTERNS (:160-168)
+    (r"(?i)(\b\w+(?:\s+\w+)*\b)\s+(?:for|to\s+treat|performed\s+for)\s+(\b\w+(?:\s+\w+)*\b)",
+     "procedure", "condition", "performed_for"),
+    (r"(?i)(\b\w+(?:\s+\w+)*\b)\s*[-–:]\s*(?:schedule|perform|undergo)\s+(\b\w+(?:\s+\w+)*\b)",
+     "condition", "procedure", "requires"),
+    # ANATOMICAL_PATTERNS (:170-178)
+    (r"(?i)(\b\w+(?:\s+\w+)*\b)\s+(?:in|of|involving)\s+(?:the\s+)?(\b\w+(?:\s+\w+)*\b)",
+     "condition", "spec_anatomic_site", "located_in"),
+    (r"(?i)(\b\w+)\s+(pain|mass|lesion|tumor|infection|inflammation|swelling)",
      "spec_anatomic_site", "condition", "affects"),
 ]
 
@@ -117,18 +148,30 @@ def proximity_relations(mentions: DataFrame, transcripts: DataFrame) -> DataFram
 
 
 def pattern_relations(transcripts: DataFrame) -> DataFrame:
-    """Regex-template relations with two capture groups (confidence 0.7)."""
+    """Regex-template relations (confidence 0.7).
+
+    Two-group patterns emit (source, target); the single-group
+    ``allergic to`` pattern emits source_text='' per the reference
+    (relation_extraction.py:264-271)."""
     t = transcripts.select("conv_id", "turn_idx", "text")
     parts = []
     for pattern, src_dom, tgt_dom, rel_type in PATTERN_RULES:
-        g1 = F.regexp_extract_all(F.col("text"), F.lit(pattern), 1)
-        g2 = F.regexp_extract_all(F.col("text"), F.lit(pattern), 2)
+        single = src_dom is None
+        if single:
+            src_col = F.lit("")
+            tgt = F.regexp_extract_all(F.col("text"), F.lit(pattern), 1)
+            zipped = F.arrays_zip(tgt.alias("o"))
+        else:
+            g1 = F.regexp_extract_all(F.col("text"), F.lit(pattern), 1)
+            g2 = F.regexp_extract_all(F.col("text"), F.lit(pattern), 2)
+            zipped = F.arrays_zip(g1.alias("s"), g2.alias("o"))
+            src_col = F.trim(F.col("m.s"))
         e = (
-            t.select("conv_id", "turn_idx", F.explode(F.arrays_zip(g1.alias("s"), g2.alias("o"))).alias("m"))
+            t.select("conv_id", "turn_idx", F.explode(zipped).alias("m"))
             .select(
                 "conv_id", "turn_idx",
-                F.trim(F.col("m.s")).alias("source_text"),
-                F.lit(src_dom).alias("source_domain"),
+                src_col.alias("source_text"),
+                F.lit(src_dom).cast("string").alias("source_domain"),
                 F.trim(F.col("m.o")).alias("target_text"),
                 F.lit(tgt_dom).alias("target_domain"),
                 F.lit(rel_type).alias("relation_type"),
@@ -173,7 +216,13 @@ def treats_edges(relations: DataFrame, top_candidates: DataFrame) -> DataFrame:
             F.lower(F.col("mention_text")).alias("txt"),
             "omop_concept_id", "domain_id",
         )
-        .dropDuplicates(["conv_id", "txt"])
+        # deterministic 1-row-per-(conv, text): min concept id + its domain
+        # (dropDuplicates keeps an arbitrary row — not reproducible)
+        .groupBy("conv_id", "txt")
+        .agg(
+            F.min("omop_concept_id").alias("omop_concept_id"),
+            F.expr("min_by(domain_id, omop_concept_id)").alias("domain_id"),
+        )
     )
     treats = relations.filter(F.col("relation_type") == "treats")
     src = texts.select("conv_id", F.col("txt").alias("src_txt"),
@@ -201,6 +250,9 @@ def treats_edges(relations: DataFrame, top_candidates: DataFrame) -> DataFrame:
         F.col("source_concept_id").alias("target_concept_id"),
         F.lit("condition_treated_by").alias("edge_type"), "confidence",
     )
-    return drug_treats.unionByName(treated_by).dropDuplicates(
-        ["conv_id", "source_concept_id", "target_concept_id", "edge_type"]
+    return (
+        drug_treats.unionByName(treated_by)
+        # deterministic dedup: keep max confidence per edge
+        .groupBy("conv_id", "source_concept_id", "target_concept_id", "edge_type")
+        .agg(F.max("confidence").alias("confidence"))
     )
