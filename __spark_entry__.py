@@ -462,6 +462,41 @@ def _q_clinical_values(spark, sf_dir):
     return values.extract_values(_stages(spark, sf_dir)["transcripts"])
 
 
+def _q_quality_rollup(spark, sf_dir):
+    """One-row AggregatedMetrics rollup over per-conversation processing
+    metrics (quality_metrics.py:246-348)."""
+    m = metrics.per_doc_metrics(_stages(spark, sf_dir)["mentions"])
+    return metrics.aggregated_quality(m)
+
+
+def _q_quality_trend(spark, sf_dir):
+    """Rolling-average mention-load trend across conversations
+    (quality_metrics.py:494-525)."""
+    m = metrics.per_doc_metrics(_stages(spark, sf_dir)["mentions"])
+    return metrics.rolling_trend(m, "mentions_extracted", window_size=10)
+
+
+def _q_accuracy_prf(spark, sf_dir):
+    """Precision/recall/F1 per entity type (quality_metrics.py:350-387):
+    pattern-extractor output validated against the dictionary scan as
+    ground truth, keyed on (conv, turn, surface text)."""
+    s = _stages(spark, sf_dir)
+    d = s["mentions"].select(
+        "conv_id", "turn_idx", F.lower("mention_text").alias("k"),
+        F.lower(F.coalesce(F.col("domain_hint"), F.lit("observation"))).alias("d_type"),
+    ).distinct()
+    p = patterns.pattern_entities_df(s["transcripts"]).select(
+        "conv_id", "turn_idx", F.lower("entity_text").alias("k"),
+        F.col("entity_type").alias("p_type"),
+    ).distinct()
+    val = d.join(p, ["conv_id", "turn_idx", "k"], "full").select(
+        F.coalesce("d_type", "p_type").alias("entity_type"),
+        F.col("p_type").isNotNull().alias("predicted"),
+        F.col("d_type").isNotNull().alias("actual"),
+    )
+    return metrics.accuracy_prf(val)
+
+
 def _q_pattern_relations(spark, sf_dir):
     """Regex-template relations (full ALL_PATTERNS set), deduped."""
     from kgnorm import relations
@@ -1139,6 +1174,105 @@ FROM rels
 GROUP BY 1, 2, 3, 4"""
 
 
+_PM_CTE_DOMS = ["condition", "drug", "measurement", "procedure", "observation"]
+
+
+def _pm_cte() -> str:
+    """Per-conversation ProcessingMetrics CTE (from turns × exp)."""
+    dom_sums = ",\n         ".join(
+        f"CAST(sum(CASE WHEN lower(coalesce(e.domain_hint, 'observation')) = '{d}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{d}"
+        for d in _PM_CTE_DOMS
+    )
+    return f"""pm AS (
+  SELECT t.conv_id,
+         count(*) AS m,
+         round(avg(cast(e.confidence AS double)), 6) AS avg_confidence,
+         CAST(sum(CASE WHEN e.omop_concept_id > 0 THEN 1 ELSE 0 END) AS BIGINT) AS found,
+         CAST(sum(CASE WHEN e.omop_concept_id > 0 THEN 0 ELSE 1 END) AS BIGINT) AS failed,
+         {dom_sums}
+  FROM turns t JOIN exp e USING (tmpl)
+  GROUP BY 1)"""
+
+
+def _oracle_quality_rollup() -> str:
+    dom_totals = ",\n         ".join(
+        f"CAST(sum(n_{d}) AS BIGINT) AS total_{d}s" for d in _PM_CTE_DOMS
+    )
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_pm_cte()},
+stats AS (
+  SELECT count(*) AS document_count,
+         CAST(sum(m) AS BIGINT) AS total_mentions,
+         CAST(round(avg(m), 6) AS DOUBLE) AS avg_mentions_per_doc,
+         CAST(round(avg(CASE WHEN avg_confidence > 0 THEN avg_confidence END), 6) AS DOUBLE) AS avg_confidence,
+         CAST(sum(CASE WHEN avg_confidence < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS conf_0_05,
+         CAST(sum(CASE WHEN avg_confidence >= 0.5 AND avg_confidence < 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS conf_05_07,
+         CAST(sum(CASE WHEN avg_confidence >= 0.7 AND avg_confidence < 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS conf_07_09,
+         CAST(sum(CASE WHEN avg_confidence >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS conf_09_10,
+         CAST(sum(found) AS BIGINT) AS mappings_succeeded,
+         CAST(sum(found) + sum(failed) AS BIGINT) AS mappings_attempted,
+         CAST(round((sum(found) * CAST(1.0 AS DOUBLE)) / (sum(found) + sum(failed)), 6) AS DOUBLE) AS mapping_success_rate,
+         {dom_totals},
+         max(m) AS max_mentions
+  FROM pm),
+ranked AS (SELECT m, row_number() OVER (ORDER BY m, conv_id) AS rn FROM pm),
+picked AS (
+  SELECT max(CASE WHEN rn = (SELECT document_count // 2 + 1 FROM stats) THEN m END) AS p50_mentions,
+         max(CASE WHEN rn = (SELECT CASE WHEN document_count > 20 THEN CAST(floor(document_count * 0.95) AS BIGINT) + 1 END FROM stats) THEN m END) AS p95_idx,
+         max(CASE WHEN rn = (SELECT CASE WHEN document_count > 100 THEN CAST(floor(document_count * 0.99) AS BIGINT) + 1 END FROM stats) THEN m END) AS p99_idx
+  FROM ranked)
+SELECT document_count, total_mentions, avg_mentions_per_doc, avg_confidence,
+       conf_0_05, conf_05_07, conf_07_09, conf_09_10,
+       mappings_succeeded, mappings_attempted, mapping_success_rate,
+       total_conditions, total_drugs, total_measurements, total_procedures,
+       total_observations,
+       p50_mentions,
+       coalesce(p95_idx, max_mentions) AS p95_mentions,
+       coalesce(p99_idx, max_mentions) AS p99_mentions,
+       max_mentions
+FROM stats CROSS JOIN picked"""
+
+
+def _oracle_quality_trend() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_pm_cte()}
+SELECT conv_id, m AS value,
+       CAST(round(avg(m) OVER (ORDER BY conv_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS DOUBLE) AS rolling_avg
+FROM pm"""
+
+
+def _oracle_accuracy_prf() -> str:
+    pcols = ("tmpl, entity_text, normalized_text, entity_type, start_offset,"
+             " end_offset, base_confidence, final_confidence, assertion,"
+             " section, value, unit")
+    return f"""WITH {_turns_cte()}, {_exp_cte()},
+pexp({pcols}) AS (VALUES {_values(_expected_pattern_entities())}),
+d AS (SELECT DISTINCT t.conv_id, t.turn_idx, lower(e.mention_text) AS k,
+             lower(coalesce(e.domain_hint, 'observation')) AS d_type
+      FROM turns t JOIN exp e USING (tmpl)),
+p AS (SELECT DISTINCT t.conv_id, t.turn_idx, lower(x.entity_text) AS k,
+             x.entity_type AS p_type
+      FROM turns t JOIN pexp x USING (tmpl)),
+v AS (SELECT coalesce(d_type, p_type) AS entity_type,
+             p_type IS NOT NULL AS predicted, d_type IS NOT NULL AS actual
+      FROM d FULL OUTER JOIN p USING (conv_id, turn_idx, k)),
+vv AS (SELECT * FROM v UNION ALL SELECT 'all' AS entity_type, predicted, actual FROM v),
+agg AS (
+  SELECT entity_type, count(*) AS total_samples,
+         CAST(sum(CASE WHEN predicted AND actual THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN predicted AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT predicted AND actual THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM vv GROUP BY 1),
+raw AS (
+  SELECT *,
+         CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE CAST(0.0 AS DOUBLE) END AS p_raw,
+         CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE CAST(0.0 AS DOUBLE) END AS r_raw
+  FROM agg)
+SELECT entity_type, total_samples, tp, fp, fn,
+       CAST(round(p_raw, 4) AS DOUBLE) AS precision,
+       CAST(round(r_raw, 4) AS DOUBLE) AS recall,
+       CAST(round(CASE WHEN p_raw + r_raw > 0 THEN 2 * p_raw * r_raw / (p_raw + r_raw) ELSE CAST(0.0 AS DOUBLE) END, 4) AS DOUBLE) AS f1_score
+FROM raw"""
+
+
 def _oracle_treats_edges() -> str:
     return f"""WITH {_turns_cte()}, {_exp_cte()}, {_templates_cte()},
 {_proximity_rels_fragment()},
@@ -1475,6 +1609,9 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_ensemble_mentions": _q_kg_ensemble_mentions,
         "normalize_terms": _q_normalize_terms,
         "kg_relations": _q_kg_relations,
+        "quality_rollup": _q_quality_rollup,
+        "quality_trend": _q_quality_trend,
+        "accuracy_prf": _q_accuracy_prf,
         "pattern_relations": _q_pattern_relations,
         "treats_edges": _q_treats_edges,
         "kg_canonical_triples": _q_kg_canonical_triples,
@@ -1517,6 +1654,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_ensemble_mentions": _oracle_kg_ensemble_mentions(),
         "normalize_terms": _oracle_normalize_terms(),
         "kg_relations": _oracle_kg_relations(),
+        "quality_rollup": _oracle_quality_rollup(),
+        "quality_trend": _oracle_quality_trend(),
+        "accuracy_prf": _oracle_accuracy_prf(),
         "pattern_relations": _oracle_pattern_relations(),
         "treats_edges": _oracle_treats_edges(),
         "kg_canonical_triples": _oracle_kg_canonical_triples(),

@@ -10,7 +10,7 @@ table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from kgnorm import schemas
 
@@ -48,6 +48,139 @@ def stage_metrics(df: DataFrame, stage: str) -> DataFrame:
 def domain_counts(facts: DataFrame) -> DataFrame:
     """Graph-stats analogue: fact counts per conversation and domain."""
     return facts.groupBy("conv_id", "domain").agg(F.count(F.lit(1)).alias("n_facts"))
+
+
+# ---------------------------------------------------------------------------
+# quality-metrics trending (reference quality_metrics.py:193-534)
+# ---------------------------------------------------------------------------
+
+_ENTITY_DOMAINS = ["condition", "drug", "measurement", "procedure", "observation"]
+
+
+def per_doc_metrics(mentions: DataFrame) -> DataFrame:
+    """Per-conversation ProcessingMetrics analogue
+    (quality_metrics.py:57-94): mention counts, per-entity-type counts,
+    confidence stats, mapping found/failed — one groupBy, map-side
+    partial agg."""
+    domain = F.lower(F.coalesce(F.col("domain_hint"), F.lit("observation")))
+    aggs = [
+        F.count(F.lit(1)).alias("mentions_extracted"),
+        F.round(F.avg("confidence"), 6).alias("avg_confidence"),
+        F.sum(F.when(F.col("confidence") < 0.5, 1).otherwise(0)).alias("low_confidence_count"),
+        F.sum(F.when(F.col("omop_concept_id") > 0, 1).otherwise(0)).alias("mappings_found"),
+        F.sum(F.when(F.col("omop_concept_id") > 0, 0).otherwise(1)).alias("mappings_failed"),
+    ]
+    for d in _ENTITY_DOMAINS:
+        aggs.append(F.sum(F.when(domain == d, 1).otherwise(0)).alias(f"{d}s_extracted"))
+    return mentions.groupBy("conv_id").agg(*aggs)
+
+
+def aggregated_quality(per_doc: DataFrame) -> DataFrame:
+    """One-row AggregatedMetrics analogue (quality_metrics.py:246-348):
+    totals, per-entity sums, confidence-bucket distribution, mapping
+    success rate, and the reference's INDEX-based percentiles of the
+    per-doc mention load (sorted[n//2], sorted[int(n*.95)] when n>20,
+    sorted[int(n*.99)] when n>100, else max — :329-332).
+
+    Scale note: the index percentiles need a global sort of the PER-DOC
+    table (one row per conversation — 10⁶ rows per 10⁹ turns), ranked
+    with one window; at larger scales substitute percentile_approx and
+    accept interpolated semantics.
+    """
+    conf = F.col("avg_confidence")
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("document_count"),
+        F.sum("mentions_extracted").alias("total_mentions"),
+        F.round(F.avg("mentions_extracted"), 6).alias("avg_mentions_per_doc"),
+        F.round(F.avg(F.when(conf > 0, conf)), 6).alias("avg_confidence"),
+        F.sum(F.when(conf < 0.5, 1).otherwise(0)).alias("conf_0_05"),
+        F.sum(F.when((conf >= 0.5) & (conf < 0.7), 1).otherwise(0)).alias("conf_05_07"),
+        F.sum(F.when((conf >= 0.7) & (conf < 0.9), 1).otherwise(0)).alias("conf_07_09"),
+        F.sum(F.when(conf >= 0.9, 1).otherwise(0)).alias("conf_09_10"),
+        F.sum("mappings_found").alias("mappings_succeeded"),
+        (F.sum("mappings_found") + F.sum("mappings_failed")).alias("mappings_attempted"),
+        F.max("mentions_extracted").alias("max_mentions"),
+        *[F.sum(f"{d}s_extracted").alias(f"total_{d}s") for d in _ENTITY_DOMAINS],
+    ).withColumn(
+        "mapping_success_rate",
+        F.round(F.col("mappings_succeeded") / F.col("mappings_attempted"), 6),
+    )
+    w = Window.orderBy("m", "conv_id")
+    ranked = (
+        per_doc.select("conv_id", F.col("mentions_extracted").alias("m"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    picked = (
+        ranked.crossJoin(F.broadcast(stats.select("document_count")))
+        .select(
+            "m", "rn",
+            (F.floor(F.col("document_count") / 2) + 1).alias("i50"),
+            F.when(F.col("document_count") > 20,
+                   F.floor(F.col("document_count") * 0.95) + 1).alias("i95"),
+            F.when(F.col("document_count") > 100,
+                   F.floor(F.col("document_count") * 0.99) + 1).alias("i99"),
+        )
+        .agg(
+            F.max(F.when(F.col("rn") == F.col("i50"), F.col("m"))).alias("p50_mentions"),
+            F.max(F.when(F.col("rn") == F.col("i95"), F.col("m"))).alias("p95_mentions_idx"),
+            F.max(F.when(F.col("rn") == F.col("i99"), F.col("m"))).alias("p99_mentions_idx"),
+        )
+    )
+    return stats.crossJoin(F.broadcast(picked)).select(
+        "document_count", "total_mentions", "avg_mentions_per_doc",
+        "avg_confidence", "conf_0_05", "conf_05_07", "conf_07_09", "conf_09_10",
+        "mappings_succeeded", "mappings_attempted", "mapping_success_rate",
+        *[f"total_{d}s" for d in _ENTITY_DOMAINS],
+        "p50_mentions",
+        F.coalesce("p95_mentions_idx", "max_mentions").alias("p95_mentions"),
+        F.coalesce("p99_mentions_idx", "max_mentions").alias("p99_mentions"),
+        F.col("max_mentions"),
+    )
+
+
+def rolling_trend(per_doc: DataFrame, value_col: str, window_size: int = 10) -> DataFrame:
+    """Rolling-average trend over conversations ordered by conv_id
+    (quality_metrics.py:494-525 exposes raw last-N points; the rolling
+    mean is the dashboard's smoothing step).  Row-frame window agg —
+    shuffles once on the global order key."""
+    w = Window.orderBy("conv_id").rowsBetween(-(window_size - 1), 0)
+    return per_doc.select(
+        "conv_id",
+        F.col(value_col).alias("value"),
+        F.round(F.avg(value_col).over(w), 6).alias("rolling_avg"),
+    )
+
+
+def accuracy_prf(validation: DataFrame) -> DataFrame:
+    """Precision/recall/F1 per entity type + 'all'
+    (quality_metrics.py:350-387): validation rows carry
+    (entity_type, predicted: bool, actual: bool)."""
+    base = validation.select("entity_type", "predicted", "actual")
+    both = base.unionByName(base.select(F.lit("all").alias("entity_type"), "predicted", "actual"))
+    agg = both.groupBy("entity_type").agg(
+        F.count(F.lit(1)).alias("total_samples"),
+        F.sum(F.when(F.col("predicted") & F.col("actual"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("predicted") & ~F.col("actual"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("predicted") & F.col("actual"), 1).otherwise(0)).alias("fn"),
+    )
+    # f1 from the RAW p/r, each rounded independently at the end
+    # (quality_metrics.py:374-386)
+    raw = agg.select(
+        "entity_type", "total_samples", "tp", "fp", "fn",
+        F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp")))
+        .otherwise(F.lit(0.0)).alias("p_raw"),
+        F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn")))
+        .otherwise(F.lit(0.0)).alias("r_raw"),
+    )
+    return raw.select(
+        "entity_type", "total_samples", "tp", "fp", "fn",
+        F.round("p_raw", 4).alias("precision"),
+        F.round("r_raw", 4).alias("recall"),
+        F.round(
+            F.when(F.col("p_raw") + F.col("r_raw") > 0,
+                   2 * F.col("p_raw") * F.col("r_raw") / (F.col("p_raw") + F.col("r_raw")))
+            .otherwise(F.lit(0.0)), 4).alias("f1_score"),
+    )
 
 
 def mention_span_check(transcripts: DataFrame, mentions: DataFrame) -> int:

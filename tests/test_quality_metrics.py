@@ -1,0 +1,75 @@
+"""Quality-metrics trending operators (kgnorm.metrics).
+
+Mirrors reference quality_metrics.py:246-387,494-525 semantics:
+index-based percentiles, confidence buckets, mapping success rate,
+rolling trend, precision/recall/F1 with raw-ratio F1.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgnorm import metrics
+
+
+@pytest.fixture(scope="module")
+def mentions(spark):
+    rows = []
+    # 25 conversations, conv i has i+1 mentions at confidence .4 + i*.02
+    for i in range(25):
+        for j in range(i + 1):
+            rows.append((f"C{i:02d}", 0, f"t{j}", 0.4 + i * 0.02,
+                         "Condition" if j % 2 == 0 else "Drug",
+                         100 + j if j % 3 else 0))
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, mention_text string,"
+              " confidence double, domain_hint string, omop_concept_id long")
+
+
+def test_per_doc_metrics(spark, mentions):
+    pm = {r.conv_id: r for r in metrics.per_doc_metrics(mentions).collect()}
+    assert pm["C04"].mentions_extracted == 5
+    assert pm["C04"].conditions_extracted == 3
+    assert pm["C04"].drugs_extracted == 2
+    assert pm["C04"].mappings_found + pm["C04"].mappings_failed == 5
+
+
+def test_aggregated_quality_percentile_indexing(spark, mentions):
+    row = metrics.aggregated_quality(metrics.per_doc_metrics(mentions)).collect()[0]
+    assert row.document_count == 25
+    assert row.total_mentions == 25 * 26 // 2
+    # sorted per-doc loads are 1..25; reference p50 = sorted[25 // 2] = 13
+    assert row.p50_mentions == 13
+    # n=25 > 20 → p95 = sorted[int(25 * 0.95)] = sorted[23] = 24
+    assert row.p95_mentions == 24
+    # n=25 <= 100 → p99 falls back to max
+    assert row.p99_mentions == 25
+    assert row.max_mentions == 25
+    assert row.conf_0_05 + row.conf_05_07 + row.conf_07_09 + row.conf_09_10 == 25
+
+
+def test_rolling_trend(spark, mentions):
+    pm = metrics.per_doc_metrics(mentions)
+    got = {r.conv_id: r for r in metrics.rolling_trend(pm, "mentions_extracted", 3).collect()}
+    assert got["C00"].rolling_avg == pytest.approx(1.0)
+    assert got["C02"].rolling_avg == pytest.approx((1 + 2 + 3) / 3)
+    assert got["C10"].rolling_avg == pytest.approx((9 + 10 + 11) / 3)
+
+
+def test_accuracy_prf(spark):
+    rows = [
+        ("condition", True, True),   # tp
+        ("condition", True, False),  # fp
+        ("condition", False, True),  # fn
+        ("drug", True, True),        # tp
+    ]
+    val = spark.createDataFrame(rows, "entity_type string, predicted boolean, actual boolean")
+    got = {r.entity_type: r for r in metrics.accuracy_prf(val).collect()}
+    c = got["condition"]
+    assert (c.tp, c.fp, c.fn) == (1, 1, 1)
+    assert c.precision == pytest.approx(0.5)
+    assert c.recall == pytest.approx(0.5)
+    assert c.f1_score == pytest.approx(0.5)
+    d = got["drug"]
+    assert (d.precision, d.recall, d.f1_score) == (1.0, 1.0, 1.0)
+    a = got["all"]
+    assert a.total_samples == 4 and a.tp == 2
