@@ -99,6 +99,42 @@ def main() -> None:
     flagship_rows = entrymod.queries()["kg_triples"](spark, sf_dir).count()
     timings["flagship_sf_triples"] = round(time.time() - t0, 3)
 
+    # ------------------------------------------------------------------
+    # two-parallelism scaling evidence (north rule: N vs 4N, eff ≥ 0.8).
+    # No multi-node cluster in the sandbox; parallelism is capped by
+    # giving the extraction stage exactly P partitions inside the
+    # local[cpus] session (a P-partition stage occupies at most P cores),
+    # same input + code at both levels, best-of-2 per level, all texts
+    # distinct so the kernel is compute-bound (the 10^12-turn regime).
+    # Strong: fixed input at P and 4P.  Weak: fixed work PER CORE.
+    # ------------------------------------------------------------------
+    scaling = None
+    if os.environ.get("KGNORM_BENCH_SCALING", "1") != "0" and cpus >= 16:
+        lo_p, hi_p = 4, 16
+        strong_turns = int(os.environ.get("KGNORM_SCALING_TURNS") or 800_000)
+
+        def _extract_tps(n_rows: int, parts: int) -> float:
+            t = synth.synth_transcripts(spark, n_rows, unique_texts=True)
+            s0 = time.time()
+            extract_mentions_df(t, dictionary, num_partitions=parts).count()
+            return n_rows / (time.time() - s0)
+
+        _extract_tps(50_000, cpus)  # warm Python workers
+        strong_lo = max(_extract_tps(strong_turns, lo_p) for _ in range(2))
+        strong_hi = max(_extract_tps(strong_turns, hi_p) for _ in range(2))
+        weak_lo = max(_extract_tps(strong_turns // 4, lo_p) for _ in range(2))
+        ratio = hi_p / lo_p
+        scaling = {
+            "method": "partition-capped extraction stage, distinct texts, best-of-2",
+            "lo_cores": lo_p, "hi_cores": hi_p, "turns": strong_turns,
+            "strong_lo_tps": round(strong_lo, 1),
+            "strong_hi_tps": round(strong_hi, 1),
+            "scaling_efficiency": round((strong_hi / strong_lo) / ratio, 3),
+            "weak_lo_tps": round(weak_lo, 1),
+            "weak_efficiency": round((strong_hi / ratio) / weak_lo, 3),
+            "target": 0.8,
+        }
+
     print(json.dumps({
         "metric": "kg_pipeline_e2e",
         "value": e2e,
@@ -113,6 +149,7 @@ def main() -> None:
             "triples": n_triples, "nodes": n_nodes, "edges": n_edges,
             "flagship_triples": flagship_rows,
         },
+        "scaling": scaling,
     }))
     spark.stop()
 
