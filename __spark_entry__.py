@@ -215,6 +215,7 @@ def _facts_cte() -> str:
   SELECT conv_id, omop_concept_id, assertion, temporality, experiencer,
          arg_min(mention_text, ord) AS concept_name,
          arg_min(domain, ord) AS domain,
+         1 - exp(sum(ln(greatest(1 - confidence, 1e-15)))) AS confidence_raw,
          round(1 - exp(sum(ln(greatest(1 - confidence, 1e-15)))), 6) AS confidence6,
          count(*) AS evidence_count,
          min(turn_idx) AS first_turn_idx,
@@ -460,6 +461,14 @@ def _q_kg_relations(spark, sf_dir):
 
 def _q_clinical_values(spark, sf_dir):
     return values.extract_values(_stages(spark, sf_dir)["transcripts"])
+
+
+def _q_fhir_export(spark, sf_dir):
+    """FHIR R4 resource rows from the facts table (fhir_exporter.py
+    status/verification/category/coding rules, flattened for compare)."""
+    from kgnorm import fhir
+
+    return fhir.fhir_rows(_stages(spark, sf_dir)["facts"])
 
 
 def _q_quality_rollup(spark, sf_dir):
@@ -1174,6 +1183,57 @@ FROM rels
 GROUP BY 1, 2, 3, 4"""
 
 
+def _oracle_fhir_export() -> str:
+    from kgnorm import fhir
+
+    vital_kw = " OR ".join(
+        f"contains(lower(concept_name), '{k}')" for k in fhir.VITAL_KEYWORDS
+    )
+    omop_uri = fhir.FHIR_CODE_SYSTEMS["omop"]
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()},
+typed AS (
+  SELECT *,
+         CASE domain WHEN 'condition' THEN 'Condition'
+                     WHEN 'drug' THEN 'MedicationStatement'
+                     WHEN 'measurement' THEN 'Observation'
+                     WHEN 'procedure' THEN 'Procedure' END AS resource_type
+  FROM facts
+  WHERE domain IN ('condition', 'drug', 'measurement', 'procedure'))
+SELECT conv_id, resource_type,
+       sha256('fhir|' || conv_id || '|' || resource_type || '|' ||
+              cast(omop_concept_id AS varchar) || '|' || assertion) AS resource_id,
+       CASE resource_type
+         WHEN 'Condition' THEN
+           CASE WHEN temporality = 'historical' THEN 'resolved'
+                WHEN assertion = 'absent' THEN 'inactive'
+                ELSE 'active' END
+         WHEN 'MedicationStatement' THEN
+           CASE WHEN assertion = 'absent' OR temporality = 'historical'
+                THEN 'stopped' ELSE 'active' END
+         WHEN 'Observation' THEN
+           CASE WHEN confidence_raw >= 0.9 THEN 'final' ELSE 'preliminary' END
+         ELSE
+           CASE WHEN temporality = 'future' THEN 'preparation'
+                WHEN temporality = 'historical' THEN 'completed'
+                ELSE 'in-progress' END
+       END AS status,
+       CASE WHEN resource_type = 'Condition' THEN
+         CASE WHEN assertion = 'possible' THEN 'provisional'
+              WHEN assertion = 'absent' THEN 'refuted'
+              WHEN confidence_raw >= 0.9 THEN 'confirmed'
+              ELSE 'unconfirmed' END
+       END AS verification_status,
+       CASE WHEN resource_type = 'Observation' THEN
+         CASE WHEN {vital_kw} THEN 'vital-signs' ELSE 'laboratory' END
+       END AS category,
+       CASE WHEN omop_concept_id > 0 THEN '{omop_uri}' END AS code_system,
+       CASE WHEN omop_concept_id > 0 THEN cast(omop_concept_id AS varchar)
+            ELSE replace(lower(concept_name), ' ', '-') END AS code,
+       concept_name AS display,
+       'Patient/' || conv_id AS subject_ref
+FROM typed"""
+
+
 _PM_CTE_DOMS = ["condition", "drug", "measurement", "procedure", "observation"]
 
 
@@ -1609,6 +1669,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_ensemble_mentions": _q_kg_ensemble_mentions,
         "normalize_terms": _q_normalize_terms,
         "kg_relations": _q_kg_relations,
+        "fhir_export": _q_fhir_export,
         "quality_rollup": _q_quality_rollup,
         "quality_trend": _q_quality_trend,
         "accuracy_prf": _q_accuracy_prf,
@@ -1654,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ensemble_mentions": _oracle_kg_ensemble_mentions(),
         "normalize_terms": _oracle_normalize_terms(),
         "kg_relations": _oracle_kg_relations(),
+        "fhir_export": _oracle_fhir_export(),
         "quality_rollup": _oracle_quality_rollup(),
         "quality_trend": _oracle_quality_trend(),
         "accuracy_prf": _oracle_accuracy_prf(),
