@@ -123,28 +123,34 @@ def proximity_relations(mentions: DataFrame, transcripts: DataFrame) -> DataFram
         "distance", F.abs(F.col("a.start_offset") - F.col("b.start_offset"))
     )
 
-    out = None
-    for src_dom, tgt_dom, rel_type, keywords in DOMAIN_RULES:
-        has_kw = None
-        for kw in keywords:
-            c = F.col("between_text").contains(kw)
-            has_kw = c if has_kw is None else (has_kw | c)
-        matched = (
-            pairs.filter((F.col("a.dom") == src_dom) & (F.col("b.dom") == tgt_dom))
-            .filter(has_kw | (F.col("distance") < CLOSE_DISTANCE))
-            .select(
-                "conv_id", "turn_idx",
-                F.col("a.mention_text").alias("source_text"),
-                F.col("a.dom").alias("source_domain"),
-                F.col("b.mention_text").alias("target_text"),
-                F.col("b.dom").alias("target_domain"),
-                F.lit(rel_type).alias("relation_type"),
-                F.when(has_kw, 0.8).otherwise(0.5).alias("confidence"),
-                F.lit("proximity").alias("method"),
-            )
+    # ONE pass: join the pair stream against a broadcast rules dimension
+    # instead of one filtered union branch per rule — a 5-branch union
+    # re-evaluates the (mentions ⋈ mentions ⋈ transcripts) subtree per
+    # rule (plan audit r02: 5× the python/exchange stages).  Identical
+    # result multiset: a pair matching k rules yields k rows either way.
+    spark = mentions.sparkSession
+    rules_dim = F.broadcast(spark.createDataFrame(
+        [(s, t, r, list(k)) for s, t, r, k in DOMAIN_RULES],
+        "src_dom string, tgt_dom string, relation_type string, keywords array<string>",
+    ))
+    joined = pairs.join(
+        rules_dim,
+        (F.col("a.dom") == F.col("src_dom")) & (F.col("b.dom") == F.col("tgt_dom")),
+    )
+    has_kw = F.exists("keywords", lambda k: F.col("between_text").contains(k))
+    return (
+        joined.filter(has_kw | (F.col("distance") < CLOSE_DISTANCE))
+        .select(
+            "conv_id", "turn_idx",
+            F.col("a.mention_text").alias("source_text"),
+            F.col("a.dom").alias("source_domain"),
+            F.col("b.mention_text").alias("target_text"),
+            F.col("b.dom").alias("target_domain"),
+            "relation_type",
+            F.when(has_kw, 0.8).otherwise(0.5).alias("confidence"),
+            F.lit("proximity").alias("method"),
         )
-        out = matched if out is None else out.unionByName(matched)
-    return out
+    )
 
 
 def pattern_relations(transcripts: DataFrame) -> DataFrame:
@@ -233,25 +239,34 @@ def treats_edges(relations: DataFrame, top_candidates: DataFrame) -> DataFrame:
                        F.col("domain_id").alias("dst_dom"))
     t = treats.withColumn("src_txt", F.lower("source_text")).withColumn("dst_txt", F.lower("target_text"))
     linked = t.join(src, ["conv_id", "src_txt"]).join(dst, ["conv_id", "dst_txt"])
-    drug_first = linked.filter((F.col("src_dom") == "drug") & (F.col("dst_dom") == "condition"))
-    cond_first = linked.filter((F.col("src_dom") == "condition") & (F.col("dst_dom") == "drug"))
-    drug_treats = drug_first.select(
-        "conv_id", F.col("src_concept").alias("source_concept_id"),
-        F.col("dst_concept").alias("target_concept_id"),
-        F.lit("drug_treats").alias("edge_type"), "confidence",
-    ).unionByName(cond_first.select(
-        "conv_id", F.col("dst_concept").alias("source_concept_id"),
-        F.col("src_concept").alias("target_concept_id"),
-        F.lit("drug_treats").alias("edge_type"), "confidence",
-    ))
-    treated_by = drug_treats.select(
-        "conv_id",
-        F.col("target_concept_id").alias("source_concept_id"),
-        F.col("source_concept_id").alias("target_concept_id"),
-        F.lit("condition_treated_by").alias("edge_type"), "confidence",
+    # ONE pass over `linked`: conditional swap normalizes the pair to
+    # (drug, condition), then an explode emits both edge directions — a
+    # filter-per-direction + union-per-edge-type formulation evaluates
+    # the (relations ⋈ candidates ⋈ candidates) subtree 4× (plan audit r02)
+    oriented = linked.filter(
+        ((F.col("src_dom") == "drug") & (F.col("dst_dom") == "condition"))
+        | ((F.col("src_dom") == "condition") & (F.col("dst_dom") == "drug"))
+    ).select(
+        "conv_id", "confidence",
+        F.when(F.col("src_dom") == "drug", F.col("src_concept"))
+        .otherwise(F.col("dst_concept")).alias("drug_id"),
+        F.when(F.col("src_dom") == "drug", F.col("dst_concept"))
+        .otherwise(F.col("src_concept")).alias("cond_id"),
+    )
+    both_dirs = oriented.select(
+        "conv_id", "confidence",
+        F.explode(F.array(
+            F.struct(F.col("drug_id").alias("source_concept_id"),
+                     F.col("cond_id").alias("target_concept_id"),
+                     F.lit("drug_treats").alias("edge_type")),
+            F.struct(F.col("cond_id").alias("source_concept_id"),
+                     F.col("drug_id").alias("target_concept_id"),
+                     F.lit("condition_treated_by").alias("edge_type")),
+        )).alias("e"),
     )
     return (
-        drug_treats.unionByName(treated_by)
+        both_dirs.select("conv_id", "e.source_concept_id", "e.target_concept_id",
+                         "e.edge_type", "confidence")
         # deterministic dedup: keep max confidence per edge
         .groupBy("conv_id", "source_concept_id", "target_concept_id", "edge_type")
         .agg(F.max("confidence").alias("confidence"))

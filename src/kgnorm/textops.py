@@ -128,12 +128,17 @@ def ngram_jaccard_pairs(
     """
     sh = documents.select("doc_id", F.explode(word_shingles(F.col("text"), shingle_n)).alias("shingle"))
     if df_max is not None:
-        keep = (
-            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= df_max)
-            .select("shingle")
+        # df via a window on the shingle key (ONE shuffle, no recompute of
+        # the exploded subtree; the self-join below reuses the same
+        # partitioning) — a groupBy+join formulation would re-derive the
+        # shingle explode once per reference and broadcast an unbounded
+        # distinct-shingle table
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= df_max)
+            .drop("_df")
         )
-        sh = sh.join(keep, "shingle")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
