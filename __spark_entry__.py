@@ -332,6 +332,47 @@ def _q_link_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ETL code-mapping fixture inputs: fixture vocabulary codes + an unknown
+# code + a local-mapping override
+_CODE_ROWS = [
+    ("4548-4", "LOINC"),       # Hemoglobin A1c → LOINC path
+    ("2160-0", "LOINC"),       # Creatinine
+    ("6809", "RxNorm"),        # Metformin
+    ("49727002", "SNOMED"),    # Cough (hierarchy-only source: no path target)
+    ("233604007", "SNOMED"),   # Pneumonia
+    ("J18.9", "ICD10CM"),      # not in fixture vocabulary → unmapped
+    ("local1", "ICD10CM"),     # local-mapping override
+]
+_LOCAL_MAPPING_ROWS = [
+    ("LOCAL1", "ICD10CM", "Local pneumonia code", 255848, "Pneumonia"),
+]
+
+
+def _q_code_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETL code-mapping joins (vocabulary_mapping.py:234-362): local
+    override → source lookup → best 'Maps to' relationship →
+    relationship-typed confidence."""
+    from kgnorm import codemap
+
+    codes = spark.createDataFrame(_CODE_ROWS, ["source_code", "source_vocabulary"])
+    locals_df = spark.createDataFrame(
+        _LOCAL_MAPPING_ROWS,
+        "local_code string, local_vocabulary string, local_description string,"
+        " omop_concept_id long, omop_concept_name string",
+    )
+    ont = _ont()
+    return codemap.map_codes(
+        codes, ontology.concepts_df(spark, ont), ontology.relationships_df(spark, ont), locals_df
+    ).select(
+        "source_code", "source_vocabulary",
+        F.col("source_concept_id").cast("long").alias("source_concept_id"),
+        "source_concept_name",
+        F.col("target_concept_id").cast("long").alias("target_concept_id"),
+        "target_concept_name", "target_vocabulary", "mapping_type",
+        "confidence", "confidence_score", "relationship_id", "unmapped_reason",
+    )
+
+
 def _q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgnorm import canon
 
@@ -774,6 +815,79 @@ SELECT term, cast(concept_id AS bigint) AS concept_id, concept_name, vocabulary_
             THEN lower(domain_id) ELSE 'observation' END AS domain_id,
        cast(score AS double) AS score, method, cast(rank AS int) AS rank
 FROM ranked WHERE rank <= 5"""
+
+
+def _oracle_code_mapping() -> str:
+    from kgnorm import codemap
+
+    ont = _ont()
+    concept_rows = [
+        (c["concept_id"], c["concept_name"], c.get("concept_code"), c.get("vocabulary_id"))
+        for c in ont.concepts
+    ]
+    rel_rows = [
+        (r["concept_id_1"], r["concept_id_2"], r["relationship_id"])
+        for r in ont.relationships
+    ]
+    path_rows = list(codemap.VOCABULARY_MAPPING_PATHS.items())
+    return f"""WITH codes(source_code, source_vocabulary) AS (VALUES {_values(_CODE_ROWS)}),
+locals(local_code, local_vocabulary, local_description, omop_concept_id, omop_concept_name) AS (
+  VALUES {_values(_LOCAL_MAPPING_ROWS)}),
+concepts(concept_id, concept_name, concept_code, vocabulary_id) AS (VALUES {_values(concept_rows)}),
+rel(concept_id_1, concept_id_2, relationship_id) AS (VALUES {_values(rel_rows)}),
+paths(source_vocabulary, tv) AS (VALUES {_values(path_rows)}),
+c AS (SELECT cd.source_code, cd.source_vocabulary, upper(cd.source_code) AS code_u, p.tv AS target_vocabulary
+      FROM codes cd LEFT JOIN paths p USING (source_vocabulary)),
+loc AS (SELECT c.*, l.local_description, l.omop_concept_id AS local_target, l.omop_concept_name AS local_target_name
+        FROM c LEFT JOIN locals l
+          ON upper(l.local_code) = c.code_u AND l.local_vocabulary = c.source_vocabulary),
+best AS (
+  SELECT concept_id_1 AS source_concept_id, concept_id_2 AS target_concept_id, relationship_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY concept_id_1
+          ORDER BY CASE WHEN relationship_id = 'Maps to' THEN 0 ELSE 1 END,
+                   relationship_id, concept_id_2) AS rk
+        FROM rel)
+  WHERE rk = 1),
+resolved AS (
+  SELECT lc.source_code, lc.source_vocabulary, lc.target_vocabulary,
+         lc.local_target, lc.local_target_name, lc.local_description,
+         sc.concept_id AS source_concept_id, sc.concept_name AS source_concept_name,
+         b.target_concept_id, b.relationship_id, tc.concept_name AS target_concept_name
+  FROM loc lc
+  LEFT JOIN concepts sc
+    ON upper(sc.concept_code) = lc.code_u AND sc.vocabulary_id = lc.source_vocabulary
+  LEFT JOIN best b ON b.source_concept_id = sc.concept_id
+  LEFT JOIN concepts tc ON tc.concept_id = b.target_concept_id)
+SELECT source_code, source_vocabulary,
+       cast(NULL AS bigint) AS source_concept_id,
+       local_description AS source_concept_name,
+       cast(local_target AS bigint) AS target_concept_id,
+       local_target_name AS target_concept_name,
+       target_vocabulary, 'local' AS mapping_type, 'medium' AS confidence,
+       CAST(0.7 AS DOUBLE) AS confidence_score,
+       cast(NULL AS varchar) AS relationship_id, cast(NULL AS varchar) AS unmapped_reason
+FROM resolved WHERE local_target IS NOT NULL
+UNION ALL
+SELECT source_code, source_vocabulary,
+       cast(source_concept_id AS bigint) AS source_concept_id, source_concept_name,
+       cast(target_concept_id AS bigint) AS target_concept_id, target_concept_name,
+       CASE WHEN target_concept_id IS NOT NULL THEN target_vocabulary END AS target_vocabulary,
+       CASE WHEN target_concept_id IS NOT NULL THEN 'direct' ELSE 'unmapped' END AS mapping_type,
+       coalesce(CASE relationship_id WHEN 'Maps to' THEN 'high'
+                                     WHEN 'Is a' THEN 'medium'
+                                     WHEN 'Subsumes' THEN 'medium'
+                                     ELSE CASE WHEN relationship_id IS NOT NULL THEN 'low' END END,
+                'low') AS confidence,
+       coalesce(CASE relationship_id WHEN 'Maps to' THEN CAST(0.95 AS DOUBLE)
+                                     WHEN 'Is a' THEN CAST(0.75 AS DOUBLE)
+                                     WHEN 'Subsumes' THEN CAST(0.75 AS DOUBLE)
+                                     ELSE CASE WHEN relationship_id IS NOT NULL THEN CAST(0.5 AS DOUBLE) END END,
+                CAST(0.0 AS DOUBLE)) AS confidence_score,
+       relationship_id,
+       CASE WHEN source_concept_id IS NULL THEN 'Source code not found in ' || source_vocabulary
+            WHEN target_concept_id IS NULL THEN 'No ''Maps to'' relationship found' END AS unmapped_reason
+FROM resolved WHERE local_target IS NULL"""
 
 
 def _oracle_link_semantic() -> str:
@@ -1647,6 +1761,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "omop_note_nlp": _q_omop_note_nlp,
         "link_cascade": _q_link_cascade,
         "link_semantic": _q_link_semantic,
+        "code_mapping": _q_code_mapping,
         "kg_canonical": _q_kg_canonical,
         "rank_topk_orders": _q_rank_topk_orders,
         "dedup_exact": _q_dedup_exact,
@@ -1693,6 +1808,7 @@ def oracle_sql() -> dict[str, str]:
         "omop_note_nlp": _oracle_omop_note_nlp(),
         "link_cascade": _oracle_link_cascade(),
         "link_semantic": _oracle_link_semantic(),
+        "code_mapping": _oracle_code_mapping(),
         "kg_canonical": _oracle_kg_canonical(),
         "rank_topk_orders": _oracle_rank_topk_orders(),
         "dedup_exact": _oracle_dedup_exact(),
