@@ -504,6 +504,40 @@ def _q_clinical_values(spark, sf_dir):
     return values.extract_values(_stages(spark, sf_dir)["transcripts"])
 
 
+_EXPECTED_ENHANCED_MENTIONS = None
+
+
+def _expected_enhanced_mentions() -> list[tuple]:
+    """Pure-Python extraction over the 10 templates with the
+    synonym-EXPANDED dictionary (vocabulary_enhanced set union)."""
+    global _EXPECTED_ENHANCED_MENTIONS
+    if _EXPECTED_ENHANCED_MENTIONS is None:
+        auto = build_automaton(ontology.enhanced_dictionary(_ont()))
+        rows = []
+        for tmpl, text in enumerate(synth.note_templates()):
+            for m in rules.extract_mentions(text, auto):
+                rows.append((
+                    tmpl, m.text, m.start_offset, m.end_offset, m.lexical_variant,
+                    m.assertion, float(m.confidence), m.domain_hint,
+                    int(m.omop_concept_id or 0),
+                ))
+        _EXPECTED_ENHANCED_MENTIONS = rows
+    return _EXPECTED_ENHANCED_MENTIONS
+
+
+def _q_kg_mentions_enhanced(spark, sf_dir):
+    """Dictionary scan with the synonym-expansion set union applied
+    (vocabulary_enhanced.py:278-295 via ontology.enhanced_dictionary) —
+    same extraction kernel, larger broadcast."""
+    s = _stages(spark, sf_dir)
+    enhanced = spark.sparkContext.broadcast(ontology.enhanced_dictionary(_ont()))
+    return extract_mentions_df(s["transcripts"], enhanced).select(
+        "conv_id", "turn_idx", "mention_text", "start_offset", "end_offset",
+        "lexical_variant", "assertion", "confidence", "domain_hint",
+        "omop_concept_id",
+    )
+
+
 def _q_fhir_export(spark, sf_dir):
     """FHIR R4 resource rows from the facts table (fhir_exporter.py
     status/verification/category/coding rules, flattened for compare)."""
@@ -1297,6 +1331,17 @@ FROM rels
 GROUP BY 1, 2, 3, 4"""
 
 
+def _oracle_kg_mentions_enhanced() -> str:
+    cols = ("tmpl, mention_text, start_offset, end_offset, lexical_variant,"
+            " assertion, confidence, domain_hint, omop_concept_id")
+    return f"""WITH {_turns_cte()},
+eexp2({cols}) AS (VALUES {_values(_expected_enhanced_mentions())})
+SELECT t.conv_id, t.turn_idx, e.mention_text, e.start_offset, e.end_offset,
+       e.lexical_variant, e.assertion, cast(e.confidence AS double) AS confidence,
+       e.domain_hint, cast(e.omop_concept_id AS bigint) AS omop_concept_id
+FROM turns t JOIN eexp2 e USING (tmpl)"""
+
+
 def _oracle_fhir_export() -> str:
     from kgnorm import fhir
 
@@ -1785,6 +1830,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "normalize_terms": _q_normalize_terms,
         "kg_relations": _q_kg_relations,
         "fhir_export": _q_fhir_export,
+        "kg_mentions_enhanced": _q_kg_mentions_enhanced,
         "quality_rollup": _q_quality_rollup,
         "quality_trend": _q_quality_trend,
         "accuracy_prf": _q_accuracy_prf,
@@ -1832,6 +1878,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_terms": _oracle_normalize_terms(),
         "kg_relations": _oracle_kg_relations(),
         "fhir_export": _oracle_fhir_export(),
+        "kg_mentions_enhanced": _oracle_kg_mentions_enhanced(),
         "quality_rollup": _oracle_quality_rollup(),
         "quality_trend": _oracle_quality_trend(),
         "accuracy_prf": _oracle_accuracy_prf(),
