@@ -332,6 +332,41 @@ def _q_link_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# drug-interaction check inputs: per-patient medication lists exercising
+# alias normalization, contraindicated/major pairs, and no-hit lists
+_MED_LISTS = [
+    ("P1", "Coumadin"), ("P1", "aspirin"), ("P1", "lisinopril"),
+    ("P2", "simvastatin"), ("P2", "clarithromycin"),
+    ("P3", "metformin"), ("P3", "lisinopril"),
+    ("P4", "sertraline"), ("P4", "tramadol"), ("P4", "warfarin"),
+    ("P5", "Tylenol"),
+]
+
+
+def _q_drug_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise drug-interaction check (drug_interactions.py:664-686):
+    conversation-local pair self-join vs the broadcast interaction dim."""
+    from kgnorm import interactions
+
+    meds = spark.createDataFrame(_MED_LISTS, ["conv_id", "drug"])
+    _rows, aliases = interactions.load_interaction_data()
+    dim = interactions.interactions_dim(spark)
+    return interactions.check_interactions(meds, dim, aliases).select(
+        "conv_id", "drug1", "drug2", "severity", "interaction_type",
+    )
+
+
+def _q_interaction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-patient interaction rollup (drug_interactions.py:688-723)."""
+    from kgnorm import interactions
+
+    meds = spark.createDataFrame(_MED_LISTS, ["conv_id", "drug"])
+    _rows, aliases = interactions.load_interaction_data()
+    dim = interactions.interactions_dim(spark)
+    found = interactions.check_interactions(meds, dim, aliases)
+    return interactions.interaction_summary(found)
+
+
 # ETL code-mapping fixture inputs: fixture vocabulary codes + an unknown
 # code + a local-mapping override
 _CODE_ROWS = [
@@ -546,6 +581,20 @@ def _q_fhir_export(spark, sf_dir):
     return fhir.fhir_rows(_stages(spark, sf_dir)["facts"])
 
 
+def _q_risk_scores(spark, sf_dir):
+    """Per-conversation CHA₂DS₂-VASc from KG facts
+    (clinical_calculators.py:126-242; condition flags pivoted from
+    present facts, demographic points default 0 — transcripts carry no
+    age/sex)."""
+    from kgnorm import calculators
+
+    return calculators.chadsvasc_from_facts(_stages(spark, sf_dir)["facts"]).select(
+        "conv_id", "chf", "hypertension", "diabetes", "stroke_tia", "vascular",
+        F.col("chadsvasc_score").cast("int").alias("chadsvasc_score"),
+        "risk_level", "stroke_rate",
+    )
+
+
 def _q_quality_rollup(spark, sf_dir):
     """One-row AggregatedMetrics rollup over per-conversation processing
     metrics (quality_metrics.py:246-348)."""
@@ -603,6 +652,24 @@ def _q_treats_edges(spark, sf_dir):
     rel = relations.dedup_relations(relations.proximity_relations(s["mentions"], s["transcripts"]))
     return relations.treats_edges(rel, s["top"]).select(
         "conv_id", "source_concept_id", "target_concept_id", "edge_type", "confidence",
+    )
+
+
+def _q_lab_interpret(spark, sf_dir):
+    """Lab-value interpretation (lab_reference.py:698-767): extracted
+    clinical values joined broadcast against the reference-range
+    dimension, interpretation ladder as one CASE chain."""
+    from kgnorm import labs
+
+    cv = values.extract_values(_stages(spark, sf_dir)["transcripts"])
+    lab_vals = cv.filter(F.col("value").isNotNull()).select(
+        "conv_id", "turn_idx", "kind", "name", "value"
+    )
+    out = labs.interpret_labs(lab_vals, labs.reference_dim(spark))
+    return out.select(
+        "conv_id", "turn_idx", "kind", "name", "value",
+        "test_name", "test_code", "category", "ref_unit",
+        "level", "reference_range", "is_critical",
     )
 
 
@@ -849,6 +916,45 @@ SELECT term, cast(concept_id AS bigint) AS concept_id, concept_name, vocabulary_
             THEN lower(domain_id) ELSE 'observation' END AS domain_id,
        cast(score AS double) AS score, method, cast(rank AS int) AS rank
 FROM ranked WHERE rank <= 5"""
+
+
+def _interactions_ctes() -> str:
+    from kgnorm import interactions
+
+    rows, aliases = interactions.load_interaction_data()
+    dim_rows = [
+        (min(r["drug1"], r["drug2"]), max(r["drug1"], r["drug2"]),
+         r["severity"], r["interaction_type"])
+        for r in rows
+    ]
+    return f"""meds(conv_id, drug) AS (VALUES {_values(_MED_LISTS)}),
+idim(pair_lo, pair_hi, severity, interaction_type) AS (VALUES {_values(dim_rows)}),
+norm AS (SELECT DISTINCT conv_id, {_case_map(aliases, 'trim(drug)')} AS d FROM meds),
+found AS (
+  SELECT a.conv_id, a.d AS drug1, b.d AS drug2, i.severity, i.interaction_type
+  FROM norm a JOIN norm b ON a.conv_id = b.conv_id AND a.d < b.d
+  JOIN idim i ON i.pair_lo = a.d AND i.pair_hi = b.d)"""
+
+
+def _oracle_drug_interactions() -> str:
+    return f"""WITH {_interactions_ctes()}
+SELECT conv_id, drug1, drug2, severity, interaction_type FROM found"""
+
+
+def _oracle_interaction_check() -> str:
+    rank = "CASE severity WHEN 'contraindicated' THEN 0 WHEN 'major' THEN 1 WHEN 'moderate' THEN 2 ELSE 3 END"
+    return f"""WITH {_interactions_ctes()}
+SELECT conv_id,
+       count(*) AS total_interactions,
+       CAST(sum(CASE WHEN severity = 'contraindicated' THEN 1 ELSE 0 END) AS BIGINT) AS n_contraindicated,
+       CAST(sum(CASE WHEN severity = 'major' THEN 1 ELSE 0 END) AS BIGINT) AS n_major,
+       CAST(sum(CASE WHEN severity = 'moderate' THEN 1 ELSE 0 END) AS BIGINT) AS n_moderate,
+       CAST(sum(CASE WHEN severity = 'minor' THEN 1 ELSE 0 END) AS BIGINT) AS n_minor,
+       CASE min({rank}) WHEN 0 THEN 'contraindicated' WHEN 1 THEN 'major'
+                        WHEN 2 THEN 'moderate' ELSE 'minor' END AS highest_severity,
+       bool_or(severity = 'contraindicated') AS has_contraindicated,
+       bool_or(severity = 'major') AS has_major
+FROM found GROUP BY 1"""
 
 
 def _oracle_code_mapping() -> str:
@@ -1393,6 +1499,36 @@ SELECT conv_id, resource_type,
 FROM typed"""
 
 
+def _oracle_risk_scores() -> str:
+    from kgnorm import calculators
+
+    flag_exprs = []
+    for flag, keywords in calculators._CHADSVASC_FLAGS.items():
+        kw = " OR ".join(f"contains(lower(concept_name), '{k}')" for k in keywords)
+        flag_exprs.append(
+            f"coalesce(max(CASE WHEN assertion = 'present' AND ({kw}) THEN true ELSE false END), false) AS {flag}"
+        )
+    flags_sql = ",\n         ".join(flag_exprs)
+    pts = ("(CASE WHEN chf THEN 1 ELSE 0 END + CASE WHEN hypertension THEN 1 ELSE 0 END"
+           " + CASE WHEN diabetes THEN 1 ELSE 0 END + CASE WHEN stroke_tia THEN 2 ELSE 0 END"
+           " + CASE WHEN vascular THEN 1 ELSE 0 END)")
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()},
+flags AS (
+  SELECT conv_id,
+         {flags_sql}
+  FROM facts GROUP BY 1),
+scored AS (SELECT *, {pts} AS s FROM flags)
+SELECT conv_id, chf, hypertension, diabetes, stroke_tia, vascular,
+       cast(s AS int) AS chadsvasc_score,
+       CASE WHEN s = 0 THEN 'low' WHEN s = 1 THEN 'low_moderate'
+            WHEN s = 2 THEN 'moderate' WHEN s <= 4 THEN 'high'
+            ELSE 'very_high' END AS risk_level,
+       CASE WHEN s = 0 THEN '0%' WHEN s = 1 THEN '1.3%' WHEN s = 2 THEN '2.2%'
+            WHEN s <= 4 THEN printf('%.1f', 1.3 + (s - 1) * 1.5) || '%'
+            ELSE cast(6 + (s - 5) * 2 AS varchar) || '%' END AS stroke_rate
+FROM scored"""
+
+
 _PM_CTE_DOMS = ["condition", "drug", "measurement", "procedure", "observation"]
 
 
@@ -1594,6 +1730,36 @@ SELECT DISTINCT *,
 FROM (
 {unioned}
 )"""
+
+
+def _oracle_lab_interpret() -> str:
+    from kgnorm import labs
+
+    ref_rows = labs.lookup_rows()
+    cols = ("key, test_name, test_code, category, ref_unit, low_normal, high_normal,"
+            " low_critical, high_critical, gender_specific, male_low, male_high,"
+            " female_low, female_high")
+    return f"""WITH cv AS (
+{_oracle_clinical_values()}
+),
+refs({cols}) AS (VALUES {_values(ref_rows)}),
+j AS (
+  SELECT cv.conv_id, cv.turn_idx, cv.kind, cv.name, cv.value,
+         r.test_name, r.test_code, r.category, r.ref_unit,
+         cast(r.low_normal AS double) AS lo, cast(r.high_normal AS double) AS hi,
+         cast(r.low_critical AS double) AS loc, cast(r.high_critical AS double) AS hic
+  FROM cv JOIN refs r ON lower(trim(cv.name)) = r.key
+  WHERE cv.value IS NOT NULL)
+SELECT conv_id, turn_idx, kind, name, value, test_name, test_code, category, ref_unit,
+       CASE WHEN loc IS NOT NULL AND value < loc THEN 'critical_low'
+            WHEN value < lo THEN 'low'
+            WHEN hic IS NOT NULL AND value > hic THEN 'critical_high'
+            WHEN value > hi THEN 'high'
+            ELSE 'normal' END AS level,
+       cast(lo AS varchar) || '-' || cast(hi AS varchar) AS reference_range,
+       CASE WHEN (loc IS NOT NULL AND value < loc) OR (hic IS NOT NULL AND value > hic)
+            THEN true ELSE false END AS is_critical
+FROM j"""
 
 
 def _case_map(mapping: dict, col: str) -> str:
@@ -1807,6 +1973,8 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "link_cascade": _q_link_cascade,
         "link_semantic": _q_link_semantic,
         "code_mapping": _q_code_mapping,
+        "drug_interactions": _q_drug_interactions,
+        "interaction_check": _q_interaction_check,
         "kg_canonical": _q_kg_canonical,
         "rank_topk_orders": _q_rank_topk_orders,
         "dedup_exact": _q_dedup_exact,
@@ -1825,12 +1993,14 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_tumbling": _q_events_tumbling,
         "events_sessionize": _q_events_sessionize,
         "clinical_values": _q_clinical_values,
+        "lab_interpret": _q_lab_interpret,
         "pattern_entities": _q_pattern_entities,
         "kg_ensemble_mentions": _q_kg_ensemble_mentions,
         "normalize_terms": _q_normalize_terms,
         "kg_relations": _q_kg_relations,
         "fhir_export": _q_fhir_export,
         "kg_mentions_enhanced": _q_kg_mentions_enhanced,
+        "risk_scores": _q_risk_scores,
         "quality_rollup": _q_quality_rollup,
         "quality_trend": _q_quality_trend,
         "accuracy_prf": _q_accuracy_prf,
@@ -1855,6 +2025,8 @@ def oracle_sql() -> dict[str, str]:
         "link_cascade": _oracle_link_cascade(),
         "link_semantic": _oracle_link_semantic(),
         "code_mapping": _oracle_code_mapping(),
+        "drug_interactions": _oracle_drug_interactions(),
+        "interaction_check": _oracle_interaction_check(),
         "kg_canonical": _oracle_kg_canonical(),
         "rank_topk_orders": _oracle_rank_topk_orders(),
         "dedup_exact": _oracle_dedup_exact(),
@@ -1873,12 +2045,14 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling": _oracle_events_tumbling(),
         "events_sessionize": _oracle_events_sessionize(),
         "clinical_values": _oracle_clinical_values(),
+        "lab_interpret": _oracle_lab_interpret(),
         "pattern_entities": _oracle_pattern_entities(),
         "kg_ensemble_mentions": _oracle_kg_ensemble_mentions(),
         "normalize_terms": _oracle_normalize_terms(),
         "kg_relations": _oracle_kg_relations(),
         "fhir_export": _oracle_fhir_export(),
         "kg_mentions_enhanced": _oracle_kg_mentions_enhanced(),
+        "risk_scores": _oracle_risk_scores(),
         "quality_rollup": _oracle_quality_rollup(),
         "quality_trend": _oracle_quality_trend(),
         "accuracy_prf": _oracle_accuracy_prf(),
