@@ -332,6 +332,26 @@ def _q_link_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ICD10_QUERIES = [
+    "sepsis",                 # exact synonym
+    "blood poisoning",        # exact synonym (alias)
+    "type 2 diabetes",        # partial synonym
+    "acute kidney failure",   # description overlap
+    "chest pain",             # exact + partial mix
+    "zzz",                    # no match
+]
+
+
+def _q_icd10_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICD-10 code suggestion (icd10_suggester.py:830-891): exact
+    synonym → substring → description word-overlap tiers over broadcast
+    code dims."""
+    from kgnorm import icd10
+
+    qs = spark.createDataFrame([(t,) for t in _ICD10_QUERIES], ["query"])
+    return icd10.suggest_codes(qs, icd10.codes_dim(spark), icd10.synonyms_dim(spark))
+
+
 # drug-interaction check inputs: per-patient medication lists exercising
 # alias normalization, contraindicated/major pairs, and no-hit lists
 _MED_LISTS = [
@@ -916,6 +936,54 @@ SELECT term, cast(concept_id AS bigint) AS concept_id, concept_name, vocabulary_
             THEN lower(domain_id) ELSE 'observation' END AS domain_id,
        cast(score AS double) AS score, method, cast(rank AS int) AS rank
 FROM ranked WHERE rank <= 5"""
+
+
+def _oracle_icd10_suggest() -> str:
+    from kgnorm import icd10
+
+    code_rows = [
+        (r["code"], r["description"], r["category"], bool(r["is_billable"]))
+        for r in icd10.load_icd10()
+    ]
+    syn_rows = []
+    seen = set()
+    for r in icd10.load_icd10():
+        for syn in r["synonyms"]:
+            k = (syn.lower(), r["code"])
+            if k not in seen:
+                seen.add(k)
+                syn_rows.append(k)
+    stop_list = ", ".join(f"'{w}'" for w in icd10._DESC_STOPWORDS)
+    return f"""WITH qs(query) AS (VALUES {_values([(t,) for t in _ICD10_QUERIES])}),
+codes(code, description, category, is_billable) AS (VALUES {_values(code_rows)}),
+syns(synonym, code) AS (VALUES {_values(syn_rows)}),
+q AS (SELECT query, lower(trim(query)) AS ql FROM qs),
+t1 AS (SELECT q.query, s.code, 1 AS tier, s.synonym AS matched
+       FROM q JOIN syns s ON q.ql = s.synonym),
+t2 AS (SELECT q.query, s.code, 2 AS tier, min(s.synonym) AS matched
+       FROM q JOIN syns s ON contains(q.ql, s.synonym) OR contains(s.synonym, q.ql)
+       GROUP BY 1, 2),
+t3 AS (
+  SELECT query, code, 3 AS tier,
+         array_to_string(list_sort(common), ', ') AS matched
+  FROM (
+    SELECT q.query, c.code,
+           list_filter(list_distinct(string_split(q.ql, ' ')),
+                       x -> x NOT IN ({stop_list})
+                            AND list_contains(list_distinct(string_split(lower(c.description), ' ')), x)) AS common,
+           len(list_distinct(string_split(q.ql, ' '))) AS nq
+    FROM q CROSS JOIN codes c)
+  WHERE len(common) >= 2 OR (len(common) = 1 AND nq <= 2)),
+unioned AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3),
+dedup AS (SELECT *, row_number() OVER (PARTITION BY query, code ORDER BY tier, matched) AS d
+          FROM unioned),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query ORDER BY tier, code) AS rank
+           FROM dedup WHERE d = 1)
+SELECT r.query, r.code, c.description, c.category, c.is_billable,
+       CASE r.tier WHEN 1 THEN 'high' WHEN 2 THEN 'medium' ELSE 'low' END AS confidence,
+       r.matched, cast(r.rank AS int) AS rank
+FROM ranked r JOIN codes c ON c.code = r.code
+WHERE r.rank <= 10"""
 
 
 def _interactions_ctes() -> str:
@@ -1975,6 +2043,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "code_mapping": _q_code_mapping,
         "drug_interactions": _q_drug_interactions,
         "interaction_check": _q_interaction_check,
+        "icd10_suggest": _q_icd10_suggest,
         "kg_canonical": _q_kg_canonical,
         "rank_topk_orders": _q_rank_topk_orders,
         "dedup_exact": _q_dedup_exact,
@@ -2027,6 +2096,7 @@ def oracle_sql() -> dict[str, str]:
         "code_mapping": _oracle_code_mapping(),
         "drug_interactions": _oracle_drug_interactions(),
         "interaction_check": _oracle_interaction_check(),
+        "icd10_suggest": _oracle_icd10_suggest(),
         "kg_canonical": _oracle_kg_canonical(),
         "rank_topk_orders": _oracle_rank_topk_orders(),
         "dedup_exact": _oracle_dedup_exact(),
