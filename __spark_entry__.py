@@ -342,6 +342,59 @@ _ICD10_QUERIES = [
 ]
 
 
+def _q_kg_drug_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interaction check chained onto the KG itself: per-conversation
+    medication lists come from PRESENT drug facts."""
+    from kgnorm import interactions
+
+    facts = _stages(spark, sf_dir)["facts"]
+    meds = facts.filter(
+        (F.col("domain") == "drug") & (F.col("assertion") == "present")
+    ).select("conv_id", F.col("concept_name").alias("drug"))
+    _rows, aliases = interactions.load_interaction_data()
+    dim = interactions.interactions_dim(spark)
+    return interactions.check_interactions(meds, dim, aliases).select(
+        "conv_id", "drug1", "drug2", "severity", "interaction_type",
+    )
+
+
+def _kg_meds_conds(spark, sf_dir):
+    facts = _stages(spark, sf_dir)["facts"]
+    meds = facts.filter(
+        (F.col("domain") == "drug") & (F.col("assertion") == "present")
+    ).select("conv_id", F.col("concept_name").alias("drug"))
+    conds = facts.filter(
+        (F.col("domain") == "condition") & (F.col("assertion") == "present")
+    ).select("conv_id", F.col("concept_name").alias("condition"))
+    return meds, conds
+
+
+def _q_safety_contraindications(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drug-safety contraindication matches over the KG: present drug
+    facts × present condition facts vs the broadcast contraindication
+    dim (drug_safety.py:807-819, substring either way)."""
+    from kgnorm import safety
+
+    meds, conds = _kg_meds_conds(spark, sf_dir)
+    _p, aliases = safety.load_safety_profiles()
+    ci = safety.contraindications_dim(spark)
+    return safety.check_contraindications(meds, conds, ci, aliases).select(
+        "conv_id", "drug", "condition", "ci_condition", "severity",
+    )
+
+
+def _q_safety_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(conversation, drug) overall-safety rollup
+    (drug_safety.py:860-875)."""
+    from kgnorm import safety
+
+    meds, conds = _kg_meds_conds(spark, sf_dir)
+    _p, aliases = safety.load_safety_profiles()
+    ci = safety.contraindications_dim(spark)
+    matched = safety.check_contraindications(meds, conds, ci, aliases)
+    return safety.safety_rollup(matched, meds, safety.profiles_dim(spark), aliases)
+
+
 def _q_icd10_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ICD-10 code suggestion (icd10_suggester.py:830-891): exact
     synonym → substring → description word-overlap tiers over broadcast
@@ -986,6 +1039,63 @@ FROM ranked r JOIN codes c ON c.code = r.code
 WHERE r.rank <= 10"""
 
 
+def _safety_ctes() -> str:
+    from kgnorm import safety
+
+    profiles, aliases = safety.load_safety_profiles()
+    ci_rows = [
+        (p["generic_name"].lower(), c["condition"].lower(), c["severity"], c["rationale"])
+        for p in profiles
+        for c in p["contraindications"]
+    ]
+    prof_rows = [
+        (p["generic_name"].lower(), len(p["black_box_warnings"]),
+         p["pregnancy_category"], p["lactation_safety"])
+        for p in profiles
+    ]
+    return f"""ci(drug, ci_condition, severity, rationale) AS (VALUES {_values(ci_rows)}),
+profs(drug, n_black_box, pregnancy_category, lactation_safety) AS (VALUES {_values(prof_rows)}),
+meds AS (SELECT DISTINCT conv_id, {_case_map(aliases, 'trim(concept_name)')} AS drug
+         FROM facts WHERE domain = 'drug' AND assertion = 'present'),
+conds AS (SELECT DISTINCT conv_id, lower(trim(concept_name)) AS condition
+          FROM facts WHERE domain = 'condition' AND assertion = 'present'),
+matched AS (
+  SELECT m.conv_id, m.drug, c.condition, i.ci_condition, i.severity, i.rationale
+  FROM meds m JOIN conds c USING (conv_id)
+  JOIN ci i ON i.drug = m.drug
+          AND (contains(c.condition, i.ci_condition) OR contains(i.ci_condition, c.condition)))"""
+
+
+def _oracle_safety_contraindications() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()},
+{_safety_ctes()}
+SELECT conv_id, drug, condition, ci_condition, severity FROM matched"""
+
+
+def _oracle_safety_check() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()},
+{_safety_ctes()},
+counts AS (
+  SELECT conv_id, drug,
+         CAST(sum(CASE WHEN severity = 'contraindicated' THEN 1 ELSE 0 END) AS BIGINT) AS n_ci,
+         CAST(sum(CASE WHEN severity = 'warning' THEN 1 ELSE 0 END) AS BIGINT) AS n_warn,
+         CAST(sum(CASE WHEN severity = 'caution' THEN 1 ELSE 0 END) AS BIGINT) AS n_caution
+  FROM matched GROUP BY 1, 2)
+SELECT m.conv_id, m.drug,
+       coalesce(c.n_ci, 0) AS n_ci,
+       coalesce(c.n_warn, 0) AS n_warn,
+       coalesce(c.n_caution, 0) AS n_caution,
+       cast(p.n_black_box AS int) AS n_black_box,
+       CASE WHEN p.n_black_box IS NULL THEN 'caution'
+            WHEN coalesce(c.n_ci, 0) > 0 THEN 'contraindicated'
+            WHEN coalesce(c.n_warn, 0) > 0 OR p.n_black_box > 0 THEN 'warning'
+            WHEN coalesce(c.n_caution, 0) > 0 THEN 'caution'
+            ELSE 'safe' END AS overall_safety
+FROM meds m
+LEFT JOIN profs p USING (drug)
+LEFT JOIN counts c ON c.conv_id = m.conv_id AND c.drug = m.drug"""
+
+
 def _interactions_ctes() -> str:
     from kgnorm import interactions
 
@@ -1007,6 +1117,25 @@ found AS (
 def _oracle_drug_interactions() -> str:
     return f"""WITH {_interactions_ctes()}
 SELECT conv_id, drug1, drug2, severity, interaction_type FROM found"""
+
+
+def _oracle_kg_drug_interactions() -> str:
+    from kgnorm import interactions
+
+    rows, aliases = interactions.load_interaction_data()
+    dim_rows = [
+        (min(r["drug1"], r["drug2"]), max(r["drug1"], r["drug2"]),
+         r["severity"], r["interaction_type"])
+        for r in rows
+    ]
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()},
+idim(pair_lo, pair_hi, severity, interaction_type) AS (VALUES {_values(dim_rows)}),
+meds AS (
+  SELECT DISTINCT conv_id, {_case_map(aliases, 'trim(concept_name)')} AS d
+  FROM facts WHERE domain = 'drug' AND assertion = 'present')
+SELECT a.conv_id, a.d AS drug1, b.d AS drug2, i.severity, i.interaction_type
+FROM meds a JOIN meds b ON a.conv_id = b.conv_id AND a.d < b.d
+JOIN idim i ON i.pair_lo = a.d AND i.pair_hi = b.d"""
 
 
 def _oracle_interaction_check() -> str:
@@ -2044,6 +2173,9 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "drug_interactions": _q_drug_interactions,
         "interaction_check": _q_interaction_check,
         "icd10_suggest": _q_icd10_suggest,
+        "kg_drug_interactions": _q_kg_drug_interactions,
+        "safety_contraindications": _q_safety_contraindications,
+        "safety_check": _q_safety_check,
         "kg_canonical": _q_kg_canonical,
         "rank_topk_orders": _q_rank_topk_orders,
         "dedup_exact": _q_dedup_exact,
@@ -2097,6 +2229,9 @@ def oracle_sql() -> dict[str, str]:
         "drug_interactions": _oracle_drug_interactions(),
         "interaction_check": _oracle_interaction_check(),
         "icd10_suggest": _oracle_icd10_suggest(),
+        "kg_drug_interactions": _oracle_kg_drug_interactions(),
+        "safety_contraindications": _oracle_safety_contraindications(),
+        "safety_check": _oracle_safety_check(),
         "kg_canonical": _oracle_kg_canonical(),
         "rank_topk_orders": _oracle_rank_topk_orders(),
         "dedup_exact": _oracle_dedup_exact(),
