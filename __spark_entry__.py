@@ -395,6 +395,28 @@ def _q_safety_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return safety.safety_rollup(matched, meds, safety.profiles_dim(spark), aliases)
 
 
+def _q_hcc_opportunities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HCC revenue opportunities from conversation text
+    (hcc_analyzer.py:600-672): indicator scan → uncaptured HCCs →
+    RAF × PMPM × 12."""
+    from kgnorm import hcc
+
+    s = _stages(spark, sf_dir)
+    defs, pmpm = hcc.load_hcc()
+    detected = hcc.detect_hccs(s["transcripts"], hcc.indicators_dim(spark))
+    return hcc.hcc_opportunities(detected, None, hcc.hcc_dim(spark), pmpm)
+
+
+def _q_hcc_raf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation additive RAF over detected HCCs
+    (hcc_analyzer.py:582-598)."""
+    from kgnorm import hcc
+
+    s = _stages(spark, sf_dir)
+    detected = hcc.detect_hccs(s["transcripts"], hcc.indicators_dim(spark))
+    return hcc.raf_scores(detected.select("conv_id", "hcc_code"), hcc.hcc_dim(spark))
+
+
 def _q_icd10_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ICD-10 code suggestion (icd10_suggester.py:830-891): exact
     synonym → substring → description word-overlap tiers over broadcast
@@ -1037,6 +1059,48 @@ SELECT r.query, r.code, c.description, c.category, c.is_billable,
        r.matched, cast(r.rank AS int) AS rank
 FROM ranked r JOIN codes c ON c.code = r.code
 WHERE r.rank <= 10"""
+
+
+def _hcc_ctes() -> str:
+    from kgnorm import hcc
+
+    defs, _pmpm = hcc.load_hcc()
+    ind_rows = [(d["hcc_code"], i.lower()) for d in defs for i in d["clinical_indicators"]]
+    dim_rows = [
+        (d["hcc_code"], d["description"], d["category"],
+         float(d["raf_community"]), float(d["raf_institutional"]))
+        for d in defs
+    ]
+    return f"""inds(hcc_code, indicator) AS (VALUES {_values(ind_rows)}),
+hdim(hcc_code, description, category, raf_community, raf_institutional) AS (
+  VALUES {_values(dim_rows)}),
+tt AS (SELECT t.conv_id, lower(m.text) AS tl FROM turns t JOIN tmpls m USING (tmpl)),
+detected AS (
+  SELECT conv_id, hcc_code, count(*) AS n_indicator_hits
+  FROM (SELECT DISTINCT tt.conv_id, i.hcc_code, i.indicator
+        FROM tt JOIN inds i ON contains(tt.tl, i.indicator))
+  GROUP BY 1, 2)"""
+
+
+def _oracle_hcc_opportunities() -> str:
+    from kgnorm import hcc
+
+    _defs, pmpm = hcc.load_hcc()
+    return f"""WITH {_turns_cte()}, {_templates_cte()},
+{_hcc_ctes()}
+SELECT d.conv_id, d.hcc_code, h.description, h.category, d.n_indicator_hits,
+       cast(h.raf_community AS double) AS raf_value,
+       cast(round(h.raf_community * {pmpm!r} * 12, 2) AS double) AS estimated_revenue
+FROM detected d JOIN hdim h USING (hcc_code)"""
+
+
+def _oracle_hcc_raf() -> str:
+    return f"""WITH {_turns_cte()}, {_templates_cte()},
+{_hcc_ctes()}
+SELECT d.conv_id, count(*) AS n_hccs,
+       cast(round(sum(h.raf_community), 4) AS double) AS raf_score
+FROM detected d JOIN hdim h USING (hcc_code)
+GROUP BY 1"""
 
 
 def _safety_ctes() -> str:
@@ -2176,6 +2240,8 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_drug_interactions": _q_kg_drug_interactions,
         "safety_contraindications": _q_safety_contraindications,
         "safety_check": _q_safety_check,
+        "hcc_opportunities": _q_hcc_opportunities,
+        "hcc_raf": _q_hcc_raf,
         "kg_canonical": _q_kg_canonical,
         "rank_topk_orders": _q_rank_topk_orders,
         "dedup_exact": _q_dedup_exact,
@@ -2232,6 +2298,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_drug_interactions": _oracle_kg_drug_interactions(),
         "safety_contraindications": _oracle_safety_contraindications(),
         "safety_check": _oracle_safety_check(),
+        "hcc_opportunities": _oracle_hcc_opportunities(),
+        "hcc_raf": _oracle_hcc_raf(),
         "kg_canonical": _oracle_kg_canonical(),
         "rank_topk_orders": _oracle_rank_topk_orders(),
         "dedup_exact": _oracle_dedup_exact(),
