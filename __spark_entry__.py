@@ -668,6 +668,62 @@ def _q_kg_mentions_enhanced(spark, sf_dir):
     )
 
 
+_EXPECTED_ADVANCED = None
+
+
+def _expected_advanced() -> list[tuple]:
+    """Pure-Python extraction + advanced enhancement over the 10
+    templates (pinned by tests/test_advanced.py)."""
+    global _EXPECTED_ADVANCED
+    if _EXPECTED_ADVANCED is None:
+        from kgnorm import advanced as adv
+
+        auto = build_automaton(_ont().dictionary)
+        rows = []
+        for tmpl, text in enumerate(synth.note_templates()):
+            for m in rules.extract_mentions(text, auto):
+                e = adv.enhance(text, m.text, m.start_offset, m.end_offset)
+                rows.append((
+                    tmpl, m.text, m.start_offset, m.end_offset,
+                    "absent" if e.negated else m.assertion,
+                    m.domain_hint, int(m.omop_concept_id or 0),
+                    e.disambiguated_term, e.disambiguation_context,
+                    e.negated, e.negation_trigger,
+                    e.linked_modifier, e.compound_condition_text,
+                    e.base_condition, e.laterality, e.laterality_text,
+                ))
+        _EXPECTED_ADVANCED = rows
+    return _EXPECTED_ADVANCED
+
+
+def _q_kg_advanced_mentions(spark, sf_dir):
+    """Advanced NLP enhancement pass (nlp_advanced.py:755-805):
+    abbreviation disambiguation, clause-aware negation, compound
+    conditions, laterality — fused with the dictionary scan in one
+    Arrow pass."""
+    from kgnorm import advanced as adv
+
+    s = _stages(spark, sf_dir)
+    return adv.enhanced_mentions_df(s["transcripts"], s["dictionary"]).select(*adv.ENHANCED_COLS)
+
+
+def _oracle_kg_advanced_mentions() -> str:
+    cols = ("tmpl, mention_text, start_offset, end_offset, assertion,"
+            " domain_hint, omop_concept_id, disambiguated_term,"
+            " disambiguation_context, adv_negated, negation_trigger,"
+            " linked_modifier, compound_condition_text, base_condition,"
+            " laterality, laterality_text")
+    return f"""WITH {_turns_cte()},
+aexp({cols}) AS (VALUES {_values(_expected_advanced())})
+SELECT t.conv_id, t.turn_idx, a.mention_text, a.start_offset, a.end_offset,
+       a.assertion, a.domain_hint, cast(a.omop_concept_id AS bigint) AS omop_concept_id,
+       a.disambiguated_term, a.disambiguation_context,
+       a.adv_negated, a.negation_trigger,
+       a.linked_modifier, a.compound_condition_text, a.base_condition,
+       a.laterality, a.laterality_text
+FROM turns t JOIN aexp a USING (tmpl)"""
+
+
 def _q_fhir_export(spark, sf_dir):
     """FHIR R4 resource rows from the facts table (fhir_exporter.py
     status/verification/category/coding rules, flattened for compare)."""
@@ -2267,6 +2323,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_relations": _q_kg_relations,
         "fhir_export": _q_fhir_export,
         "kg_mentions_enhanced": _q_kg_mentions_enhanced,
+        "kg_advanced_mentions": _q_kg_advanced_mentions,
         "risk_scores": _q_risk_scores,
         "quality_rollup": _q_quality_rollup,
         "quality_trend": _q_quality_trend,
@@ -2325,6 +2382,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_relations": _oracle_kg_relations(),
         "fhir_export": _oracle_fhir_export(),
         "kg_mentions_enhanced": _oracle_kg_mentions_enhanced(),
+        "kg_advanced_mentions": _oracle_kg_advanced_mentions(),
         "risk_scores": _oracle_risk_scores(),
         "quality_rollup": _oracle_quality_rollup(),
         "quality_trend": _oracle_quality_trend(),
