@@ -427,6 +427,24 @@ def _q_icd10_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return icd10.suggest_codes(qs, icd10.codes_dim(spark), icd10.synonyms_dim(spark))
 
 
+_CPT_QUERIES = [
+    "colonoscopy",
+    "echocardiogram",
+    "chest x-ray",
+    "office visit",
+    "zzz",
+]
+
+
+def _q_cpt_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CPT/HCPCS code suggestion over the merged 5,046-code dimension
+    (cpt_suggester.py:991-1060)."""
+    from kgnorm import cpt
+
+    qs = spark.createDataFrame([(t,) for t in _CPT_QUERIES], ["query"])
+    return cpt.suggest_codes(qs, cpt.codes_dim(spark), cpt.synonyms_dim(spark))
+
+
 # drug-interaction check inputs: per-patient medication lists exercising
 # alias normalization, contraindicated/major pairs, and no-hit lists
 _MED_LISTS = [
@@ -1157,6 +1175,45 @@ SELECT d.conv_id, count(*) AS n_hccs,
        cast(round(sum(h.raf_community), 4) AS double) AS raf_score
 FROM detected d JOIN hdim h USING (hcc_code)
 GROUP BY 1"""
+
+
+def _oracle_cpt_suggest() -> str:
+    from kgnorm import cpt
+
+    stop_list = ", ".join(f"'{w}'" for w in cpt._DESC_STOPWORDS)
+    codes_path = os.path.join(REPO, "data", "cpt_codes.json")
+    syn_path = os.path.join(REPO, "data", "cpt_synonyms.json")
+    return f"""WITH qs(query) AS (VALUES {_values([(t,) for t in _CPT_QUERIES])}),
+codes AS (SELECT code, description, category
+          FROM (SELECT unnest(codes, recursive := true) FROM read_json_auto('{codes_path}'))),
+syns AS (SELECT synonym, code
+         FROM (SELECT unnest(synonyms, recursive := true) FROM read_json_auto('{syn_path}'))),
+q AS (SELECT query, lower(trim(query)) AS ql FROM qs),
+t1 AS (SELECT q.query, s.code, 1 AS tier, 'exact_synonym' AS match_type, s.synonym AS matched
+       FROM q JOIN syns s ON q.ql = s.synonym),
+t2 AS (SELECT q.query, s.code, 2 AS tier, 'partial_synonym' AS match_type, min(s.synonym) AS matched
+       FROM q JOIN syns s ON contains(q.ql, s.synonym) OR contains(s.synonym, q.ql)
+       GROUP BY 1, 2),
+t3 AS (
+  SELECT query, code, 3 AS tier, 'description' AS match_type,
+         array_to_string(list_sort(common), ', ') AS matched
+  FROM (
+    SELECT q.query, c.code,
+           list_filter(list_distinct(string_split(q.ql, ' ')),
+                       x -> x NOT IN ({stop_list})
+                            AND list_contains(list_distinct(string_split(lower(c.description), ' ')), x)) AS common
+    FROM q CROSS JOIN codes c)
+  WHERE len(common) >= 2),
+unioned AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3),
+dedup AS (SELECT *, row_number() OVER (PARTITION BY query, code ORDER BY tier, matched) AS d
+          FROM unioned),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query ORDER BY tier, code) AS rank
+           FROM dedup WHERE d = 1)
+SELECT r.query, r.code, c.description, c.category,
+       CASE WHEN r.tier IN (1, 2) THEN 'medium' ELSE 'low' END AS confidence,
+       r.match_type, r.matched, cast(r.rank AS int) AS rank
+FROM ranked r JOIN codes c ON c.code = r.code
+WHERE r.rank <= 10"""
 
 
 def _safety_ctes() -> str:
@@ -2293,6 +2350,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "drug_interactions": _q_drug_interactions,
         "interaction_check": _q_interaction_check,
         "icd10_suggest": _q_icd10_suggest,
+        "cpt_suggest": _q_cpt_suggest,
         "kg_drug_interactions": _q_kg_drug_interactions,
         "safety_contraindications": _q_safety_contraindications,
         "safety_check": _q_safety_check,
@@ -2352,6 +2410,7 @@ def oracle_sql() -> dict[str, str]:
         "drug_interactions": _oracle_drug_interactions(),
         "interaction_check": _oracle_interaction_check(),
         "icd10_suggest": _oracle_icd10_suggest(),
+        "cpt_suggest": _oracle_cpt_suggest(),
         "kg_drug_interactions": _oracle_kg_drug_interactions(),
         "safety_contraindications": _oracle_safety_contraindications(),
         "safety_check": _oracle_safety_check(),
