@@ -436,6 +436,22 @@ _CPT_QUERIES = [
 ]
 
 
+def _q_differential_dx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked differential diagnosis per conversation from PRESENT fact
+    findings (differential_diagnosis.py:751-898; demographics default
+    off — transcripts carry none)."""
+    from kgnorm import differential as dd
+
+    facts = _stages(spark, sf_dir)["facts"]
+    findings = facts.filter(F.col("assertion") == "present").select(
+        "conv_id", F.col("concept_name").alias("finding")
+    )
+    _dxs, aliases = dd.load_differential()
+    return dd.differential(
+        findings, dd.finding_index_dim(spark), dd.diagnosis_dim(spark), aliases
+    )
+
+
 def _q_cpt_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CPT/HCPCS code suggestion over the merged 5,046-code dimension
     (cpt_suggester.py:991-1060)."""
@@ -1175,6 +1191,54 @@ SELECT d.conv_id, count(*) AS n_hccs,
        cast(round(sum(h.raf_community), 4) AS double) AS raf_score
 FROM detected d JOIN hdim h USING (hcc_code)
 GROUP BY 1"""
+
+
+def _oracle_differential_dx() -> str:
+    from kgnorm import differential as dd
+
+    dxs, aliases = dd.load_differential()
+    index_rows = []
+    for d in dxs:
+        for field, w in dd._WEIGHTS:
+            for finding in d[field]:
+                index_rows.append((finding, d["name"], w, field == "classic_findings"))
+    dim_rows = [
+        (d["name"], d["domain"], d["urgency"], float(d["prevalence_base"]),
+         float(0.9 * len(d["classic_findings"]) + 0.6 * len(d["common_findings"])))
+        for d in dxs
+    ]
+    alias_case = _case_map(aliases, "trim(concept_name)")
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()},
+fidx(finding, diagnosis, strength, is_classic) AS (VALUES {_values(index_rows)}),
+ddim(diagnosis, domain, urgency, prevalence_base, max_possible) AS (VALUES {_values(dim_rows)}),
+norm AS (
+  SELECT DISTINCT conv_id,
+         CASE WHEN ({alias_case}) <> lower(trim(concept_name))
+              THEN ({alias_case})
+              ELSE replace(lower(trim(concept_name)), ' ', '_') END AS finding
+  FROM facts WHERE assertion = 'present'),
+scored AS (
+  SELECT n.conv_id, i.diagnosis,
+         count(*) AS n_supporting,
+         sum(i.strength) AS raw_score,
+         CAST(sum(CASE WHEN i.is_classic THEN 1 ELSE 0 END) AS BIGINT) AS classic_count
+  FROM norm n JOIN fidx i USING (finding)
+  GROUP BY 1, 2),
+withdx AS (
+  SELECT s.*, d.domain, d.urgency, d.prevalence_base, d.max_possible,
+         CASE WHEN s.classic_count >= 2
+              THEN (s.raw_score + d.prevalence_base * 2) * 1.5
+              ELSE s.raw_score + d.prevalence_base * 2 END AS score
+  FROM scored s JOIN ddim d USING (diagnosis)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY score DESC, diagnosis) AS rank
+  FROM withdx)
+SELECT conv_id, diagnosis, domain, urgency, n_supporting, classic_count,
+       CAST(round(score, 6) AS DOUBLE) AS score6,
+       CAST(round(least(CAST(1.0 AS DOUBLE), score / (max_possible + 0.1)), 3) AS DOUBLE) AS probability,
+       urgency = 'emergent' AS cannot_miss,
+       cast(rank AS int) AS rank
+FROM ranked WHERE rank <= 10"""
 
 
 def _oracle_cpt_suggest() -> str:
@@ -2351,6 +2415,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "interaction_check": _q_interaction_check,
         "icd10_suggest": _q_icd10_suggest,
         "cpt_suggest": _q_cpt_suggest,
+        "differential_dx": _q_differential_dx,
         "kg_drug_interactions": _q_kg_drug_interactions,
         "safety_contraindications": _q_safety_contraindications,
         "safety_check": _q_safety_check,
@@ -2411,6 +2476,7 @@ def oracle_sql() -> dict[str, str]:
         "interaction_check": _oracle_interaction_check(),
         "icd10_suggest": _oracle_icd10_suggest(),
         "cpt_suggest": _oracle_cpt_suggest(),
+        "differential_dx": _oracle_differential_dx(),
         "kg_drug_interactions": _oracle_kg_drug_interactions(),
         "safety_contraindications": _oracle_safety_contraindications(),
         "safety_check": _oracle_safety_check(),
