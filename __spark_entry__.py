@@ -609,6 +609,15 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return vecops.ann_lsh_topk(_embs(spark, sf_dir), EMB_DIM, n_queries=10, k=5)
 
 
+EMB_DUP_THRESHOLD = 0.9
+
+
+def _q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup dedup pairs: banded-LSH candidates +
+    exact cosine confirm."""
+    return vecops.lsh_dup_pairs(_embs(spark, sf_dir), EMB_DIM, threshold=EMB_DUP_THRESHOLD)
+
+
 def _q_multimodal_features(spark, sf_dir):
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
     feats = multimodal.extract_features(media, fake=True)
@@ -1734,6 +1743,42 @@ ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC
 SELECT query_id, vec_id, cos6, cast(rk AS int) AS rk FROM ranked WHERE rk <= 5"""
 
 
+def _oracle_embedding_dup_pairs() -> str:
+    planes = vecops.hyperplanes(EMB_DIM, ANN_BITS)
+    plane_lits = [
+        "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in p) + "]" for p in planes
+    ]
+    bit_exprs = [
+        f"(CASE WHEN {_DOT.format(a='emb', b=pl)} >= 0 THEN '1' ELSE '0' END)"
+        for pl in plane_lits
+    ]
+    per_band = ANN_BITS // ANN_BANDS
+    band_selects = []
+    for b in range(ANN_BANDS):
+        band_bits = " || ".join(bit_exprs[b * per_band:(b + 1) * per_band])
+        band_selects.append(
+            f"SELECT vec_id, emb, {b} AS band_idx, {band_bits} AS band_bucket FROM base"
+        )
+    banded = "\n  UNION ALL\n  ".join(band_selects)
+    dot_ab = _DOT.format(a="ea.emb", b="eb.emb")
+    na = "sqrt(" + _DOT.format(a="ea.emb", b="ea.emb") + ")"
+    nb = "sqrt(" + _DOT.format(a="eb.emb", b="eb.emb") + ")"
+    return f"""WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+banded AS (
+  {banded}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b USING (band_idx, band_bucket)
+  WHERE a.vec_id < b.vec_id),
+scored AS (
+  SELECT c.vec_a, c.vec_b, {dot_ab} / ({na} * {nb}) AS cos
+  FROM cand c JOIN base ea ON ea.vec_id = c.vec_a JOIN base eb ON eb.vec_id = c.vec_b)
+SELECT vec_a, vec_b, round(cos, 6) AS cos6
+FROM scored WHERE cos >= CAST({EMB_DUP_THRESHOLD!r} AS DOUBLE)"""
+
+
 _HEXPOS = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
 
 
@@ -2434,6 +2479,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
         "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
         "events_tumbling": _q_events_tumbling,
@@ -2495,6 +2541,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _oracle_simhash(),
         "cosine_topk": _oracle_cosine_topk(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
+        "embedding_dup_pairs": _oracle_embedding_dup_pairs(),
         "multimodal_features": _oracle_multimodal_features(),
         "frame_sample": _oracle_frame_sample(),
         "events_tumbling": _oracle_events_tumbling(),

@@ -118,6 +118,39 @@ def lsh_bands(embeddings: DataFrame, dim: int, n_bits: int = 32, bands: int = 4)
              F.col("band.band_bucket").alias("band_bucket"))
 
 
+def lsh_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup flavor): banded
+    LSH self-join generates candidates, exact cosine ≥ threshold
+    confirms.  Same OR-amplified banding as ann_lsh_topk — candidates
+    are band collisions, never the O(n²) cross product; at 10⁹ vectors
+    each band bucket holds ~n/2^(bits/bands) rows and AQE splits the
+    identical-vector hot buckets."""
+    banded = lsh_bands(embeddings, dim, n_bits, bands)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, ["band_idx", "band_bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("a.emb").alias("emb_a"),
+            F.col("b.vec_id").alias("vec_b"), F.col("b.emb").alias("emb_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+    return (
+        cands.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos6"))
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     dim: int,

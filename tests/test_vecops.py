@@ -137,3 +137,11 @@ def test_banded_ann_no_duplicate_candidates(spark, embeddings):
     for r in got:
         assert (r.query_id, r.vec_id) not in seen  # OR-amplification deduped
         seen.add((r.query_id, r.vec_id))
+
+
+def test_lsh_dup_pairs_finds_identical_and_near(spark, embeddings):
+    got = {(r.vec_a, r.vec_b): r.cos6 for r in vecops.lsh_dup_pairs(embeddings, DIM, threshold=0.9).collect()}
+    assert (0, 41) in got           # exact copy, every band collides
+    assert got[(0, 41)] == pytest.approx(1.0)
+    assert all(c >= 0.9 for c in got.values())
+    assert all(a < b for a, b in got)
