@@ -452,6 +452,31 @@ def _q_differential_dx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documentation-gap (CDI) detection over extracted mentions
+    (documentation_gaps.py:445-523)."""
+    from kgnorm import docgaps
+
+    s = _stages(spark, sf_dir)
+    return docgaps.detect_gaps(
+        s["mentions"], s["transcripts"],
+        docgaps.rules_dim(spark), docgaps.laterality_dim(spark),
+    )
+
+
+def _q_doc_gap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation CDI rollup with revenue-at-risk estimate
+    (documentation_gaps.py:585-597)."""
+    from kgnorm import docgaps
+
+    s = _stages(spark, sf_dir)
+    gaps = docgaps.detect_gaps(
+        s["mentions"], s["transcripts"],
+        docgaps.rules_dim(spark), docgaps.laterality_dim(spark),
+    )
+    return docgaps.gap_rollup(gaps)
+
+
 def _q_cpt_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CPT/HCPCS code suggestion over the merged 5,046-code dimension
     (cpt_suggester.py:991-1060)."""
@@ -1248,6 +1273,77 @@ SELECT conv_id, diagnosis, domain, urgency, n_supporting, classic_count,
        urgency = 'emergent' AS cannot_miss,
        cast(rank AS int) AS rank
 FROM ranked WHERE rank <= 10"""
+
+
+def _docgap_ctes() -> str:
+    from kgnorm import docgaps
+
+    rules, lats = docgaps.load_gap_rules()
+    rule_vals = []
+    for r in rules:
+        scope, terms = docgaps.SPECIFIC_TERMS.get(r["trigger"], ("text", []))
+        term_lit = "[" + ", ".join(_lit(t) for t in terms) + "]"
+        rule_vals.append(
+            f"({r['order']}, {_lit(r['trigger'])}, {_lit(r['category'])},"
+            f" {_lit(r['severity'])}, {_lit(r['issue'])}, {_lit(scope)}, {term_lit})"
+        )
+    lat_vals = ",\n    ".join(f"({i}, {_lit(c)})" for i, c in enumerate(lats))
+    lat_terms = " OR ".join(
+        f"contains(ml, {_lit(t)}) OR contains(tl, {_lit(t)})" for t in docgaps.LATERALITY_TERMS
+    )
+    return f"""grules(rule_order, trigger, category, severity, issue, specific_scope, specific_terms) AS (
+  VALUES {",{}    ".format(chr(10)).join(rule_vals)}),
+glats(lat_order, condition) AS (VALUES {lat_vals}),
+mtext AS (
+  SELECT t.conv_id, t.turn_idx, e.start_offset, e.mention_text AS finding,
+         lower(e.mention_text) AS ml, lower(m.text) AS tl
+  FROM turns t JOIN exp e USING (tmpl) JOIN tmpls m USING (tmpl)),
+spec_gaps AS (
+  SELECT conv_id, turn_idx, start_offset, finding,
+         'specificity' AS gap_type, category, severity, issue
+  FROM (
+    SELECT mt.*, r.category, r.severity, r.issue,
+           row_number() OVER (PARTITION BY mt.conv_id, mt.turn_idx, mt.start_offset
+                              ORDER BY r.rule_order) AS rk
+    FROM mtext mt JOIN grules r ON contains(mt.ml, r.trigger)
+    WHERE NOT (CASE WHEN r.specific_scope = 'both'
+                    THEN len(list_filter(r.specific_terms,
+                             t -> contains(mt.ml, t) OR contains(mt.tl, t))) > 0
+                    ELSE len(list_filter(r.specific_terms,
+                             t -> contains(mt.tl, t))) > 0 END))
+  WHERE rk = 1),
+lat_gaps AS (
+  SELECT conv_id, turn_idx, start_offset, finding,
+         'laterality' AS gap_type, 'laterality' AS category,
+         'high' AS severity,
+         'Laterality not specified for ' || condition AS issue
+  FROM (
+    SELECT mt.*, l.condition,
+           row_number() OVER (PARTITION BY mt.conv_id, mt.turn_idx, mt.start_offset
+                              ORDER BY l.lat_order) AS rk
+    FROM mtext mt JOIN glats l ON contains(mt.ml, l.condition)
+    WHERE NOT ({lat_terms}))
+  WHERE rk = 1),
+all_gaps AS (SELECT * FROM spec_gaps UNION ALL SELECT * FROM lat_gaps)"""
+
+
+def _oracle_doc_gaps() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_templates_cte()},
+{_docgap_ctes()}
+SELECT conv_id, turn_idx, start_offset, finding, gap_type, category, severity, issue
+FROM all_gaps"""
+
+
+def _oracle_doc_gap_rollup() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_templates_cte()},
+{_docgap_ctes()}
+SELECT conv_id, count(*) AS total_gaps,
+       CAST(sum(CASE WHEN severity = 'critical' THEN 1 ELSE 0 END) AS BIGINT) AS n_critical,
+       CAST(sum(CASE WHEN severity = 'high' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(sum(CASE WHEN severity = 'medium' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+       CAST(round(sum(CASE severity WHEN 'critical' THEN 500.0 WHEN 'high' THEN 150.0
+                                    WHEN 'medium' THEN 50.0 ELSE 10.0 END), 2) AS DOUBLE) AS revenue_at_risk
+FROM all_gaps GROUP BY 1"""
 
 
 def _oracle_cpt_suggest() -> str:
@@ -2461,6 +2557,8 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "icd10_suggest": _q_icd10_suggest,
         "cpt_suggest": _q_cpt_suggest,
         "differential_dx": _q_differential_dx,
+        "doc_gaps": _q_doc_gaps,
+        "doc_gap_rollup": _q_doc_gap_rollup,
         "kg_drug_interactions": _q_kg_drug_interactions,
         "safety_contraindications": _q_safety_contraindications,
         "safety_check": _q_safety_check,
@@ -2523,6 +2621,8 @@ def oracle_sql() -> dict[str, str]:
         "icd10_suggest": _oracle_icd10_suggest(),
         "cpt_suggest": _oracle_cpt_suggest(),
         "differential_dx": _oracle_differential_dx(),
+        "doc_gaps": _oracle_doc_gaps(),
+        "doc_gap_rollup": _oracle_doc_gap_rollup(),
         "kg_drug_interactions": _oracle_kg_drug_interactions(),
         "safety_contraindications": _oracle_safety_contraindications(),
         "safety_check": _oracle_safety_check(),
