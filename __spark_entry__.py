@@ -452,6 +452,40 @@ def _q_differential_dx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# claim fixtures exercising bundling pairs, necessity hits and misses
+_CLAIM_CPTS = [
+    ("E1", "99215"), ("E1", "99213"),             # CCI pair (E/M levels)
+    ("E1", "93000"),                              # ECG, supported below
+    ("E2", "99285"), ("E2", "93000"),             # ED-visit + ECG CCI pair
+    ("E3", "83036"),                              # HbA1c, unsupported dx below
+    ("E4", "80053"),                              # panel, claim has no dx → skip
+    ("E5", "71046"), ("E5", "71045"),             # 2-view CXR pair
+]
+_CLAIM_DXS = [
+    ("E1", "I48.91"),      # supports 93000
+    ("E2", "R07.9"),       # supports 93000 (pair finding still fires)
+    ("E3", "K21.9"),       # does NOT support 83036
+    ("E5", "J18.9"),       # supports 71046
+]
+
+
+def _q_billing_bundling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCI bundling-edit findings (billing_optimizer.py:529-570)."""
+    from kgnorm import billing
+
+    cpts = spark.createDataFrame(_CLAIM_CPTS, ["claim_id", "cpt_code"])
+    return billing.check_bundling(cpts, billing.bundles_dim(spark))
+
+
+def _q_billing_necessity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medical-necessity findings (billing_optimizer.py:572-616)."""
+    from kgnorm import billing
+
+    cpts = spark.createDataFrame(_CLAIM_CPTS, ["claim_id", "cpt_code"])
+    dxs = spark.createDataFrame(_CLAIM_DXS, ["claim_id", "icd10_code"])
+    return billing.check_medical_necessity(cpts, dxs, billing.necessity_dim(spark))
+
+
 def _q_doc_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documentation-gap (CDI) detection over extracted mentions
     (documentation_gaps.py:445-523)."""
@@ -1273,6 +1307,43 @@ SELECT conv_id, diagnosis, domain, urgency, n_supporting, classic_count,
        urgency = 'emergent' AS cannot_miss,
        cast(rank AS int) AS rank
 FROM ranked WHERE rank <= 10"""
+
+
+def _oracle_billing_bundling() -> str:
+    from kgnorm import billing
+
+    bundles, _n = billing.load_billing_rules()
+    return f"""WITH cpts(claim_id, cpt_code) AS (VALUES {_values(_CLAIM_CPTS)}),
+bundles(comprehensive, component, reason) AS (VALUES {_values([tuple(b) for b in bundles])})
+SELECT a.claim_id, b.comprehensive, b.component, b.reason,
+       'high' AS severity, CAST(-25.0 AS DOUBLE) AS revenue_impact
+FROM cpts a
+JOIN cpts c ON c.claim_id = a.claim_id
+JOIN bundles b ON b.comprehensive = a.cpt_code AND b.component = c.cpt_code"""
+
+
+def _oracle_billing_necessity() -> str:
+    from kgnorm import billing
+
+    _b, necessity = billing.load_billing_rules()
+    nec_rows = [(cpt, dx) for cpt, dxs in necessity.items() for dx in dxs]
+    return f"""WITH cpts(claim_id, cpt_code) AS (VALUES {_values(_CLAIM_CPTS)}),
+dxs(claim_id, icd10_code) AS (VALUES {_values(_CLAIM_DXS)}),
+nec(cpt_code, supporting_dx) AS (VALUES {_values(nec_rows)}),
+candidates AS (
+  SELECT DISTINCT c.claim_id, c.cpt_code
+  FROM cpts c
+  WHERE c.cpt_code IN (SELECT cpt_code FROM nec)
+    AND c.claim_id IN (SELECT claim_id FROM dxs)),
+supported AS (
+  SELECT DISTINCT c.claim_id, c.cpt_code
+  FROM cpts c JOIN nec n USING (cpt_code)
+  JOIN dxs d ON d.claim_id = c.claim_id AND d.icd10_code = n.supporting_dx)
+SELECT ca.claim_id, ca.cpt_code,
+       'medical_necessity' AS category, 'high' AS severity
+FROM candidates ca
+LEFT JOIN supported s ON s.claim_id = ca.claim_id AND s.cpt_code = ca.cpt_code
+WHERE s.claim_id IS NULL"""
 
 
 def _docgap_ctes() -> str:
@@ -2559,6 +2630,8 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "differential_dx": _q_differential_dx,
         "doc_gaps": _q_doc_gaps,
         "doc_gap_rollup": _q_doc_gap_rollup,
+        "billing_bundling": _q_billing_bundling,
+        "billing_necessity": _q_billing_necessity,
         "kg_drug_interactions": _q_kg_drug_interactions,
         "safety_contraindications": _q_safety_contraindications,
         "safety_check": _q_safety_check,
@@ -2623,6 +2696,8 @@ def oracle_sql() -> dict[str, str]:
         "differential_dx": _oracle_differential_dx(),
         "doc_gaps": _oracle_doc_gaps(),
         "doc_gap_rollup": _oracle_doc_gap_rollup(),
+        "billing_bundling": _oracle_billing_bundling(),
+        "billing_necessity": _oracle_billing_necessity(),
         "kg_drug_interactions": _oracle_kg_drug_interactions(),
         "safety_contraindications": _oracle_safety_contraindications(),
         "safety_check": _oracle_safety_check(),
