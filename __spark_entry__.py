@@ -1014,6 +1014,281 @@ def _q_rank_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# structured-source connectors + per-domain OMOP ETL (round 3)
+# ---------------------------------------------------------------------------
+
+# deterministic clinical-code cycles, shared between the Spark fixture
+# writer and the DuckDB oracles (index = doc_id % len)
+_ETL_COND_CODES = [
+    ("E11.9", "Type 2 diabetes mellitus"),
+    ("I10", "Essential hypertension"),
+    ("I50.9", "Heart failure, unspecified"),
+    ("J44.9", "COPD, unspecified"),
+    ("N18.3", "CKD stage 3"),
+    ("E78.5", "Hyperlipidemia"),
+    ("I48.91", "Atrial fibrillation"),
+    ("Z99.89", "Dependence on enabling machines"),  # deliberately unmapped
+]
+_ETL_COND_DIMS = [  # (icd_concept_id, icd_code, snomed_concept_id, snomed_name)
+    (45500001, "E11.9", 201826, "Type 2 diabetes mellitus"),
+    (45500002, "I10", 320128, "Essential hypertension"),
+    (45500003, "I50.9", 316139, "Congestive heart failure"),
+    (45500004, "J44.9", 255573, "COPD"),
+    (45500005, "N18.3", 443597, "Chronic kidney disease stage 3"),
+    (45500006, "E78.5", 432867, "Hyperlipidemia"),
+    (45500007, "I48.91", 313217, "Atrial fibrillation"),
+]
+_ETL_COND_STATUS = ["active", "current", "resolved", "remission", ""]
+_ETL_COND_STATUS_MAPPED = ["active", "active", "resolved", "inactive", "unknown"]
+_ETL_STATUS_CONCEPT = {"active": 32904, "inactive": 32895, "resolved": 32893}
+
+_ETL_DRUGS = [  # (rxnorm_code, name, concept_id)
+    ("6809", "Metformin", 40164929),
+    ("29046", "Lisinopril", 1308216),
+    ("1191", "Aspirin", 1112807),
+    ("83367", "Atorvastatin", 1545958),
+    ("11289", "Warfarin", 1310149),
+    ("4603", "Furosemide", 956874),
+]
+_ETL_DRUG_STATUS = ["active", "completed", "stopped", "cancelled", "on-hold"]
+_ETL_DRUG_STATUS_MAPPED = ["active", "completed", "stopped", "stopped", "unknown"]
+_ETL_ROUTES = ["Oral", "IV", "topical", "intranasal", "bogus-route"]
+_ETL_ROUTE_CONCEPT = [4128794, 4302612, 4186832, 4262914, None]
+
+_ETL_LABS = [  # (loinc, name, concept_id or None)
+    ("4548-4", "Hemoglobin A1c", 3004410),
+    ("2160-0", "Creatinine", 3016723),
+    ("2823-3", "Potassium", 3023103),
+    ("9999-9", "Mystery assay", None),
+]
+_ETL_UNITS = ["%", "mg/dL", "MMHG", "10*3/UL", "bogus"]
+_ETL_UNIT_CONCEPT = [8554, 8840, 8876, None, None]
+
+_N_PERSONS = 97
+
+
+def _etl_concepts_df(spark):
+    rows = [(cid, sn, code, "ICD10CM") for cid, code, _sid, sn in _ETL_COND_DIMS]
+    rows += [(sid, sn, f"SCT{sid}", "SNOMED") for _c, _code, sid, sn in _ETL_COND_DIMS]
+    rows += [(cid, name, code, "RxNorm") for code, name, cid in _ETL_DRUGS]
+    rows += [(cid, name, code, "LOINC") for code, name, cid in _ETL_LABS if cid]
+    return spark.createDataFrame(
+        rows, "concept_id long, concept_name string, concept_code string, vocabulary_id string"
+    )
+
+
+def _etl_relationships_df(spark):
+    rows = [(cid, sid, "Maps to") for cid, _code, sid, _sn in _ETL_COND_DIMS]
+    rows += [(cid, cid, "Maps to") for _code, _name, cid in _ETL_DRUGS]
+    rows += [(cid, cid, "Maps to") for _code, _name, cid in _ETL_LABS if cid]
+    return spark.createDataFrame(
+        rows, "concept_id_1 long, concept_id_2 long, relationship_id string"
+    )
+
+
+def _etl_persons_df(spark):
+    return spark.createDataFrame(
+        [(f"P{i}", i + 1) for i in range(_N_PERSONS)],
+        "patient_source_id string, person_id long",
+    )
+
+
+_SRC_FIX_WRITTEN: set = set()
+
+
+def _src_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write the connector input files (CSV + FHIR NDJSON), derived
+    DETERMINISTICALLY from the documents table by Spark itself —
+    distributed ``df.write``, never a driver loop.  The oracles recompute
+    the expected records straight from the ``documents`` view, so the
+    whole file round-trip (write → read → parse) is value-checked."""
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(tempfile.gettempdir(), f"kgnorm_srcfix_{base}_{os.getpid()}")
+    key = (spark.sparkContext.applicationId, root)
+    if key in _SRC_FIX_WRITTEN:
+        return root
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+    d = F.col("doc_id")
+
+    def pick(values, mod):
+        arr = F.array([F.lit(v) for v in values])
+        return F.element_at(arr, (d % mod).cast("int") + 1)
+
+    month = (d % 12 + 1).cast("int")
+    day = (d % 28 + 1).cast("int")
+    hour = (d % 24).cast("int")
+    even = (d % 2) == 0
+    onset = F.when(
+        even, F.format_string("2024-%02d-%02d %02d:00:00", month, day, hour)
+    ).otherwise(F.format_string("2024-%02d-%02d", month, day))
+
+    cond = docs.select(
+        F.concat(F.lit("DX"), d).alias("diagnosis_id"),
+        F.concat(F.lit("P"), d % _N_PERSONS).alias("patientid"),
+        pick([c for c, _n in _ETL_COND_CODES], 8).alias("icd_code"),
+        pick([n for _c, n in _ETL_COND_CODES], 8).alias("description"),
+        pick(_ETL_COND_STATUS, 5).alias("clinical_status"),
+        onset.alias("onset_date"),
+    )
+    cond.coalesce(4).write.mode("overwrite").option("header", True).csv(
+        os.path.join(root, "conditions_csv")
+    )
+
+    eff_start = F.format_string("2024-%02d-%02dT00:00:00", month, day)
+    has_period = (d % 3) == 0
+    med = docs.select(
+        F.to_json(F.struct(
+            F.lit("MedicationRequest").alias("resourceType"),
+            F.concat(F.lit("m"), d).alias("id"),
+            F.struct(F.array(F.struct(
+                F.lit("http://www.nlm.nih.gov/research/umls/rxnorm").alias("system"),
+                pick([c for c, _n, _i in _ETL_DRUGS], 6).alias("code"),
+                pick([n for _c, n, _i in _ETL_DRUGS], 6).alias("display"),
+            )).alias("coding")).alias("medicationCodeableConcept"),
+            pick(_ETL_DRUG_STATUS, 5).alias("status"),
+            F.format_string("2024-%02d-%02d", month, day).alias("authoredOn"),
+            F.when(has_period, F.struct(
+                eff_start.alias("start"),
+                # fixed day 28 keeps every generated end date calendar-valid
+                F.format_string("2024-%02d-28T00:00:00", month).alias("end"),
+            )).alias("effectivePeriod"),
+            F.struct(F.concat(F.lit("Patient/P"), d % _N_PERSONS).alias("reference"))
+            .alias("subject"),
+            F.array(F.struct(
+                F.format_string("%d mg daily", (d % 8 + 1) * 50).alias("text"),
+                F.struct(F.array(F.struct(
+                    pick(_ETL_ROUTES, 5).alias("display"))).alias("coding"))
+                .alias("route"),
+                F.array(F.struct(F.struct(
+                    ((d % 8 + 1) * 50).cast("double").alias("value"),
+                    F.lit("mg").alias("unit"),
+                ).alias("doseQuantity"))).alias("doseAndRate"),
+            )).alias("dosageInstruction"),
+        ), {"ignoreNullFields": "true"}).alias("value")
+    )
+    med.coalesce(4).write.mode("overwrite").text(os.path.join(root, "fhir_ndjson"))
+
+    # labs CSV — %7 switch exercises the operator-prefix quirk
+    case = (d % 7).cast("int")
+    num = F.when(~case.isin(0, 2), F.format_string("%.1f", (d % 100).cast("double") / 10.0)) \
+        .otherwise(F.lit(""))
+    txt = (
+        F.when(case == 0, F.format_string("<%.1f", (d % 50).cast("double") / 10.0))
+        .when(case == 1, F.format_string("<=%.1f", (d % 50).cast("double") / 10.0))
+        .when(case == 2, F.format_string("=%.1f", (d % 50).cast("double") / 10.0))
+        .otherwise(F.lit(""))
+    )
+    labs = docs.select(
+        F.concat(F.lit("L"), d).alias("lab_id"),
+        F.concat(F.lit("P"), d % _N_PERSONS).alias("patient_id"),
+        pick([c for c, _n, _i in _ETL_LABS], 4).alias("loinc"),
+        pick([n for _c, n, _i in _ETL_LABS], 4).alias("test_name"),
+        num.alias("value"),
+        txt.alias("text_value"),
+        pick(_ETL_UNITS, 5).alias("unit"),
+        F.lit("0.5").alias("reference_low"),
+        F.format_string("%.1f", (d % 10).cast("double") + 1.0).alias("reference_high"),
+        F.format_string("2024-%02d-%02d %02d:00:00", month, day, hour).alias("result_date"),
+    )
+    labs.coalesce(4).write.mode("overwrite").option("header", True).csv(
+        os.path.join(root, "labs_csv")
+    )
+    _SRC_FIX_WRITTEN.add(key)
+    return root
+
+
+def _q_source_records_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector: synonym-header resolution + typed parsing
+    (csv_connector.py:507-551) over a Spark-written conditions CSV."""
+    from kgnorm import connectors as cn
+
+    root = _src_fixture_dir(spark, sf_dir)
+    src = cn.csv_conditions(cn.read_csv(spark, os.path.join(root, "conditions_csv")))
+    return src.select(
+        "source_id", "source_system", "patient_source_id", "code",
+        "code_system", "display_text", "status",
+        F.date_format("onset_datetime", "yyyy-MM-dd HH:mm:ss").alias("onset_ts"),
+    )
+
+
+def _q_source_records_fhir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FHIR NDJSON connector: one text scan + resourceType probe +
+    typed from_json decode (fhir_connector.py:465-610)."""
+    from kgnorm import connectors as cn
+
+    root = _src_fixture_dir(spark, sf_dir)
+    src = cn.fhir_drugs(spark, os.path.join(root, "fhir_ndjson"))
+    return src.select(
+        "source_id", "source_system", "patient_source_id", "code",
+        "code_system", "display_text", "status",
+        F.date_format("start_datetime", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        F.date_format("end_datetime", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+        "dose_value", "dose_unit", "route", "sig",
+    )
+
+
+def _q_etl_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector → condition ETL chain (condition_etl.py:381-434):
+    ICD10CM→SNOMED 'Maps to' lookup, status concepts, source_value."""
+    from kgnorm import connectors as cn, etl
+
+    root = _src_fixture_dir(spark, sf_dir)
+    src = cn.csv_conditions(cn.read_csv(spark, os.path.join(root, "conditions_csv")))
+    out = etl.condition_occurrences(
+        src, _etl_concepts_df(spark), _etl_relationships_df(spark), _etl_persons_df(spark)
+    )
+    return out.select(
+        "condition_source_id", "person_id", "condition_concept_id",
+        F.date_format("condition_start_date", "yyyy-MM-dd").alias("start_date"),
+        F.date_format("condition_start_datetime", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        "condition_type_concept_id", "condition_status_concept_id",
+        "condition_source_value", "condition_source_concept_id",
+        "condition_status_source_value",
+    )
+
+
+def _q_etl_drugs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FHIR connector → drug ETL chain (drug_etl.py:303-376): route
+    concepts, digit-sweep quantity, days-supply derivation."""
+    from kgnorm import connectors as cn, etl
+
+    root = _src_fixture_dir(spark, sf_dir)
+    src = cn.fhir_drugs(spark, os.path.join(root, "fhir_ndjson"))
+    out = etl.drug_exposures(
+        src, _etl_concepts_df(spark), _etl_relationships_df(spark), _etl_persons_df(spark)
+    )
+    return out.select(
+        "drug_source_id", "person_id", "drug_concept_id",
+        F.date_format("drug_exposure_start_date", "yyyy-MM-dd").alias("start_date"),
+        F.date_format("drug_exposure_end_date", "yyyy-MM-dd").alias("end_date"),
+        "drug_type_concept_id", "quantity", "days_supply", "sig",
+        "route_concept_id", "drug_source_value", "drug_source_concept_id",
+        "route_source_value", "dose_unit_source_value",
+    )
+
+
+def _q_etl_measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector → measurement ETL chain (measurement_etl.py:358-425):
+    unit concepts (exact-then-lower), the operator-prefix insertion-order
+    quirk, LOINC type hint."""
+    from kgnorm import connectors as cn, etl
+
+    root = _src_fixture_dir(spark, sf_dir)
+    src = cn.csv_measurements(cn.read_csv(spark, os.path.join(root, "labs_csv")))
+    out = etl.measurements(
+        src, _etl_concepts_df(spark), _etl_relationships_df(spark), _etl_persons_df(spark)
+    )
+    return out.select(
+        "measurement_source_id", "person_id", "measurement_concept_id",
+        F.date_format("measurement_date", "yyyy-MM-dd").alias("meas_date"),
+        "measurement_type_concept_id", "operator_concept_id", "value_as_number",
+        "unit_concept_id", "range_low", "range_high",
+        "measurement_source_value", "measurement_source_concept_id",
+        "unit_source_value", "value_source_value",
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL builders
 # ---------------------------------------------------------------------------
 
@@ -2567,6 +2842,130 @@ SELECT conv_id, omop_concept_id, assertion, temporality, experiencer,
 FROM facts WHERE assertion <> 'absent'"""
 
 
+def _sql_cycle(values, mod, expr="doc_id"):
+    """DuckDB list-literal cycle indexed by (expr % mod) + 1."""
+    items = ", ".join(_lit(v) for v in values)
+    return f"([{items}])[({expr} % {mod}) + 1]"
+
+
+def _oracle_source_records_csv() -> str:
+    codes = _sql_cycle([c for c, _n in _ETL_COND_CODES], 8)
+    names = _sql_cycle([n for _c, n in _ETL_COND_CODES], 8)
+    status = _sql_cycle(_ETL_COND_STATUS_MAPPED, 5)
+    return f"""SELECT 'DX' || doc_id AS source_id,
+       'csv' AS source_system,
+       'P' || (doc_id % {_N_PERSONS}) AS patient_source_id,
+       {codes} AS code,
+       'ICD10CM' AS code_system,
+       {names} AS display_text,
+       {status} AS status,
+       CASE WHEN doc_id % 2 = 0
+            THEN printf('2024-%02d-%02d %02d:00:00', doc_id % 12 + 1, doc_id % 28 + 1, doc_id % 24)
+            ELSE printf('2024-%02d-%02d 00:00:00', doc_id % 12 + 1, doc_id % 28 + 1)
+       END AS onset_ts
+FROM documents"""
+
+
+def _oracle_source_records_fhir() -> str:
+    codes = _sql_cycle([c for c, _n, _i in _ETL_DRUGS], 6)
+    names = _sql_cycle([n for _c, n, _i in _ETL_DRUGS], 6)
+    status = _sql_cycle(_ETL_DRUG_STATUS_MAPPED, 5)
+    routes = _sql_cycle(_ETL_ROUTES, 5)
+    return f"""SELECT 'm' || doc_id AS source_id,
+       'fhir' AS source_system,
+       'P' || (doc_id % {_N_PERSONS}) AS patient_source_id,
+       {codes} AS code,
+       'RxNorm' AS code_system,
+       {names} AS display_text,
+       {status} AS status,
+       printf('2024-%02d-%02d 00:00:00', doc_id % 12 + 1, doc_id % 28 + 1) AS start_ts,
+       CASE WHEN doc_id % 3 = 0
+            THEN printf('2024-%02d-28 00:00:00', doc_id % 12 + 1) END AS end_ts,
+       CAST((doc_id % 8 + 1) * 50 AS DOUBLE) AS dose_value,
+       'mg' AS dose_unit,
+       {routes} AS route,
+       printf('%d mg daily', (doc_id % 8 + 1) * 50) AS sig
+FROM documents"""
+
+
+def _oracle_etl_conditions() -> str:
+    concept = _sql_cycle([sid for _c, _code, sid, _sn in _ETL_COND_DIMS] + [0], 8)
+    src_concept = _sql_cycle([cid for cid, _c, _s, _n in _ETL_COND_DIMS] + [None], 8)
+    codes = _sql_cycle([c for c, _n in _ETL_COND_CODES], 8)
+    status = _sql_cycle(_ETL_COND_STATUS_MAPPED, 5)
+    status_concept = _sql_cycle(
+        [_ETL_STATUS_CONCEPT.get(sm) for sm in _ETL_COND_STATUS_MAPPED], 5)
+    return f"""SELECT 'DX' || doc_id AS condition_source_id,
+       CAST(doc_id % {_N_PERSONS} + 1 AS BIGINT) AS person_id,
+       CAST({concept} AS BIGINT) AS condition_concept_id,
+       printf('2024-%02d-%02d', doc_id % 12 + 1, doc_id % 28 + 1) AS start_date,
+       CASE WHEN doc_id % 2 = 0
+            THEN printf('2024-%02d-%02d %02d:00:00', doc_id % 12 + 1, doc_id % 28 + 1, doc_id % 24)
+            ELSE printf('2024-%02d-%02d 00:00:00', doc_id % 12 + 1, doc_id % 28 + 1)
+       END AS start_ts,
+       CAST(32817 AS BIGINT) AS condition_type_concept_id,
+       CAST({status_concept} AS BIGINT) AS condition_status_concept_id,
+       'ICD10CM:' || {codes} AS condition_source_value,
+       CAST({src_concept} AS BIGINT) AS condition_source_concept_id,
+       {status} AS condition_status_source_value
+FROM documents"""
+
+
+def _oracle_etl_drugs() -> str:
+    concept = _sql_cycle([cid for _c, _n, cid in _ETL_DRUGS], 6)
+    codes = _sql_cycle([c for c, _n, _i in _ETL_DRUGS], 6)
+    routes = _sql_cycle(_ETL_ROUTES, 5)
+    route_concept = _sql_cycle(_ETL_ROUTE_CONCEPT, 5)
+    return f"""SELECT 'm' || doc_id AS drug_source_id,
+       CAST(doc_id % {_N_PERSONS} + 1 AS BIGINT) AS person_id,
+       CAST({concept} AS BIGINT) AS drug_concept_id,
+       printf('2024-%02d-%02d', doc_id % 12 + 1, doc_id % 28 + 1) AS start_date,
+       CASE WHEN doc_id % 3 = 0 THEN printf('2024-%02d-28', doc_id % 12 + 1)
+            ELSE strftime(make_date(2024, CAST(doc_id % 12 + 1 AS INT),
+                                    CAST(doc_id % 28 + 1 AS INT)) + INTERVAL 30 DAY,
+                          '%Y-%m-%d')
+       END AS end_date,
+       CAST(32817 AS BIGINT) AS drug_type_concept_id,
+       CAST((doc_id % 8 + 1) * 50 AS DOUBLE) AS quantity,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(28 - (doc_id % 28 + 1) AS INT) END AS days_supply,
+       printf('%d mg daily', (doc_id % 8 + 1) * 50) AS sig,
+       CAST({route_concept} AS BIGINT) AS route_concept_id,
+       'RxNorm:' || {codes} AS drug_source_value,
+       CAST({concept} AS BIGINT) AS drug_source_concept_id,
+       {routes} AS route_source_value,
+       'mg' AS dose_unit_source_value
+FROM documents"""
+
+
+def _oracle_etl_measurements() -> str:
+    concept = _sql_cycle([cid if cid else 0 for _c, _n, cid in _ETL_LABS], 4)
+    src_concept = _sql_cycle([cid for _c, _n, cid in _ETL_LABS], 4)
+    loinc = _sql_cycle([c for c, _n, _i in _ETL_LABS], 4)
+    units = _sql_cycle(_ETL_UNITS, 5)
+    unit_concept = _sql_cycle(_ETL_UNIT_CONCEPT, 5)
+    return f"""SELECT 'L' || doc_id AS measurement_source_id,
+       CAST(doc_id % {_N_PERSONS} + 1 AS BIGINT) AS person_id,
+       CAST({concept} AS BIGINT) AS measurement_concept_id,
+       printf('2024-%02d-%02d', doc_id % 12 + 1, doc_id % 28 + 1) AS meas_date,
+       CAST(32856 AS BIGINT) AS measurement_type_concept_id,
+       CAST(CASE doc_id % 7 WHEN 0 THEN 4171756 WHEN 1 THEN 4171756
+                            WHEN 2 THEN 4172703 END AS BIGINT) AS operator_concept_id,
+       CAST(CASE doc_id % 7 WHEN 0 THEN (doc_id % 50) / 10.0
+                            WHEN 2 THEN (doc_id % 50) / 10.0
+                            ELSE (doc_id % 100) / 10.0 END AS DOUBLE) AS value_as_number,
+       CAST({unit_concept} AS BIGINT) AS unit_concept_id,
+       CAST(0.5 AS DOUBLE) AS range_low,
+       CAST((doc_id % 10) + 1.0 AS DOUBLE) AS range_high,
+       'LOINC:' || {loinc} AS measurement_source_value,
+       CAST({src_concept} AS BIGINT) AS measurement_source_concept_id,
+       {units} AS unit_source_value,
+       CASE doc_id % 7 WHEN 0 THEN printf('<%.1f', (doc_id % 50) / 10.0)
+                       WHEN 1 THEN printf('<=%.1f', (doc_id % 50) / 10.0)
+                       WHEN 2 THEN printf('=%.1f', (doc_id % 50) / 10.0)
+       END AS value_source_value
+FROM documents"""
+
+
 def _oracle_pricing_summary() -> str:
     return """SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
@@ -2674,6 +3073,11 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_positive_facts": _q_kg_positive_facts,
         "pricing_summary": _q_pricing_summary,
         "customer_order_stats": _q_customer_order_stats,
+        "source_records_csv": _q_source_records_csv,
+        "source_records_fhir": _q_source_records_fhir,
+        "etl_conditions": _q_etl_conditions,
+        "etl_drugs": _q_etl_drugs,
+        "etl_measurements": _q_etl_measurements,
     }
 
 
@@ -2740,4 +3144,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_positive_facts": _oracle_kg_positive_facts(),
         "pricing_summary": _oracle_pricing_summary(),
         "customer_order_stats": _oracle_customer_order_stats(),
+        "source_records_csv": _oracle_source_records_csv(),
+        "source_records_fhir": _oracle_source_records_fhir(),
+        "etl_conditions": _oracle_etl_conditions(),
+        "etl_drugs": _oracle_etl_drugs(),
+        "etl_measurements": _oracle_etl_measurements(),
     }
