@@ -1289,6 +1289,64 @@ def _q_etl_measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# clinical summarizer (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _q_summary_problems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prioritized problem list (clinical_summarizer.py:343-378)."""
+    from kgnorm import summarizer
+
+    facts = _stages(spark, sf_dir)["facts"]
+    return summarizer.problem_list(facts, spark).select(
+        "conv_id", "name", "status", "priority", "rank"
+    )
+
+
+def _q_summary_one_liner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-patient one-liner (clinical_summarizer.py:613-629)."""
+    from kgnorm import summarizer
+
+    facts = _stages(spark, sf_dir)["facts"]
+    return summarizer.one_liner(facts, spark)
+
+
+def _q_summary_medications(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medication reconciliation list + change strings
+    (clinical_summarizer.py:380-407, 680-690)."""
+    from kgnorm import summarizer
+
+    facts = _stages(spark, sf_dir)["facts"]
+    meds = summarizer.medication_list(facts)
+    return meds.select(
+        "conv_id", "name", "status",
+        F.when(F.col("status") == "discontinued",
+               F.concat(F.lit("Discontinued: "), F.col("name"))).alias("change"),
+    )
+
+
+def _q_summary_critical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Critical condition findings (clinical_summarizer.py:631-658)."""
+    from kgnorm import summarizer
+
+    facts = _stages(spark, sf_dir)["facts"]
+    return summarizer.critical_findings(facts)
+
+
+def _q_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Problem-oriented per-patient rollup (clinical_summarizer.py:756-792)."""
+    from kgnorm import summarizer
+
+    facts = _stages(spark, sf_dir)["facts"]
+    return summarizer.problem_summary(facts, spark).select(
+        "conv_id", "total_facts",
+        F.col("confidence_score").cast("double").alias("confidence_score"),
+        "total_problems", "active_problems", "chronic_problems",
+        "resolved_problems", "medication_count",
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL builders
 # ---------------------------------------------------------------------------
 
@@ -2848,6 +2906,115 @@ def _sql_cycle(values, mod, expr="doc_id"):
     return f"([{items}])[({expr} % {mod}) + 1]"
 
 
+def _prio_cte() -> str:
+    from kgnorm.summarizer import PROBLEM_PRIORITY
+    rows = ",\n    ".join(f"({_lit(t)}, {p})" for t, p in PROBLEM_PRIORITY.items())
+    return f"prio_terms(term, prio) AS (\n  VALUES {rows}\n)"
+
+
+def _problems_cte() -> str:
+    """Problem list re-derivation in pure SQL (one row per condition fact)."""
+    return """probs AS (
+  SELECT conv_id, concept_name AS name, lower(concept_name) AS ml,
+         temporality, first_turn_idx, first_start_offset,
+         coalesce((SELECT max(t.prio) FROM prio_terms t
+                   WHERE lower(concept_name) LIKE '%' || t.term || '%'), 0) AS priority,
+         CASE WHEN temporality = 'historical' THEN 'resolved'
+              WHEN lower(concept_name) LIKE '%chronic%' THEN 'chronic'
+              WHEN lower(concept_name) LIKE '%acute%' THEN 'acute'
+              ELSE 'active' END AS status
+  FROM facts WHERE domain = 'condition' AND assertion <> 'absent'
+), ranked_probs AS (
+  SELECT *, cast(row_number() OVER (
+    PARTITION BY conv_id
+    ORDER BY priority DESC, first_turn_idx, first_start_offset, name) AS int) AS rank
+  FROM probs
+)"""
+
+
+def _oracle_summary_problems() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()},
+{_prio_cte()}, {_problems_cte()}
+SELECT conv_id, name, status, priority, rank FROM ranked_probs"""
+
+
+def _oracle_summary_one_liner() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()},
+{_prio_cte()}, {_problems_cte()},
+top3 AS (
+  SELECT conv_id, string_agg(name, ', ' ORDER BY rank) AS problem_str
+  FROM ranked_probs WHERE rank <= 3 GROUP BY conv_id
+),
+medc AS (
+  SELECT conv_id,
+         sum(CASE WHEN assertion <> 'absent' AND temporality <> 'historical'
+                  THEN 1 ELSE 0 END) AS med_count
+  FROM facts WHERE domain = 'drug' GROUP BY conv_id
+)
+SELECT f.conv_id,
+       CASE WHEN t.problem_str IS NULL
+            THEN 'Patient ' || f.conv_id || ' with no significant documented conditions'
+            ELSE 'Patient with ' || t.problem_str || ', on ' ||
+                 coalesce(m.med_count, 0) || ' medications' END AS one_liner
+FROM (SELECT DISTINCT conv_id FROM facts) f
+LEFT JOIN top3 t USING (conv_id) LEFT JOIN medc m USING (conv_id)"""
+
+
+def _oracle_summary_medications() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()}
+SELECT conv_id, concept_name AS name,
+       CASE WHEN assertion = 'absent' OR temporality = 'historical'
+            THEN 'discontinued' ELSE 'active' END AS status,
+       CASE WHEN assertion = 'absent' OR temporality = 'historical'
+            THEN 'Discontinued: ' || concept_name END AS change
+FROM facts WHERE domain = 'drug'"""
+
+
+def _oracle_summary_critical() -> str:
+    from kgnorm.summarizer import CRITICAL_TERMS
+    cond = " OR ".join(f"lower(concept_name) LIKE '%{t}%'" for t in CRITICAL_TERMS)
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()},
+crit AS (
+  SELECT conv_id, concept_name,
+         row_number() OVER (PARTITION BY conv_id
+           ORDER BY first_turn_idx, first_start_offset, concept_name) AS rk
+  FROM facts WHERE domain = 'condition' AND ({cond})
+)
+SELECT conv_id, 'Critical condition: ' || concept_name AS finding
+FROM crit WHERE rk <= 5"""
+
+
+def _oracle_summary_rollup() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()},
+{_prio_cte()}, {_problems_cte()},
+buckets AS (
+  SELECT conv_id, count(*) AS total_problems,
+         sum(CASE WHEN status IN ('active', 'acute', 'uncontrolled')
+                  THEN 1 ELSE 0 END) AS active_problems,
+         sum(CASE WHEN status = 'chronic' THEN 1 ELSE 0 END) AS chronic_problems,
+         sum(CASE WHEN status NOT IN ('active', 'acute', 'uncontrolled', 'chronic')
+                  THEN 1 ELSE 0 END) AS resolved_problems
+  FROM ranked_probs GROUP BY conv_id
+),
+medc AS (
+  SELECT conv_id, count(*) AS medication_count FROM facts
+  WHERE domain = 'drug' GROUP BY conv_id
+),
+conf AS (
+  SELECT conv_id, round(avg(confidence_raw), 2) AS confidence_score,
+         count(*) AS total_facts
+  FROM facts GROUP BY conv_id
+)
+SELECT c.conv_id, c.total_facts,
+       CAST(c.confidence_score AS DOUBLE) AS confidence_score,
+       CAST(coalesce(b.total_problems, 0) AS BIGINT) AS total_problems,
+       CAST(coalesce(b.active_problems, 0) AS BIGINT) AS active_problems,
+       CAST(coalesce(b.chronic_problems, 0) AS BIGINT) AS chronic_problems,
+       CAST(coalesce(b.resolved_problems, 0) AS BIGINT) AS resolved_problems,
+       CAST(coalesce(m.medication_count, 0) AS BIGINT) AS medication_count
+FROM conf c LEFT JOIN buckets b USING (conv_id) LEFT JOIN medc m USING (conv_id)"""
+
+
 def _oracle_source_records_csv() -> str:
     codes = _sql_cycle([c for c, _n in _ETL_COND_CODES], 8)
     names = _sql_cycle([n for _c, n in _ETL_COND_CODES], 8)
@@ -3078,6 +3245,11 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "etl_conditions": _q_etl_conditions,
         "etl_drugs": _q_etl_drugs,
         "etl_measurements": _q_etl_measurements,
+        "summary_problems": _q_summary_problems,
+        "summary_one_liner": _q_summary_one_liner,
+        "summary_medications": _q_summary_medications,
+        "summary_critical": _q_summary_critical,
+        "summary_rollup": _q_summary_rollup,
     }
 
 
@@ -3149,4 +3321,9 @@ def oracle_sql() -> dict[str, str]:
         "etl_conditions": _oracle_etl_conditions(),
         "etl_drugs": _oracle_etl_drugs(),
         "etl_measurements": _oracle_etl_measurements(),
+        "summary_problems": _oracle_summary_problems(),
+        "summary_one_liner": _oracle_summary_one_liner(),
+        "summary_medications": _oracle_summary_medications(),
+        "summary_critical": _oracle_summary_critical(),
+        "summary_rollup": _oracle_summary_rollup(),
     }
