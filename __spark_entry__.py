@@ -1347,6 +1347,45 @@ def _q_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CDI coding-query generation (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _cdi_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgnorm import docgaps
+
+    s = _stages(spark, sf_dir)
+    return docgaps.detect_gaps(
+        s["mentions"], s["transcripts"],
+        docgaps.rules_dim(spark), docgaps.laterality_dim(spark),
+        with_query=True,
+    )
+
+
+def _q_cdi_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured coding queries from documentation gaps
+    (coding_query_generator.py:423-597)."""
+    from kgnorm import cdi
+
+    out = cdi.generate_queries(_cdi_gaps(spark, sf_dir), cdi.templates_dim(spark))
+    return out.select(
+        "conv_id", "finding", "category", "severity", "query_id",
+        "template_key", "question", "status", "priority", "coding_impacts",
+        "estimated_revenue_impact", "cer_strength", "regulatory_basis",
+        "n_options", "query_rank",
+    )
+
+
+def _q_cdi_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-encounter query batch rollup (coding_query_generator.py:755-803)."""
+    from kgnorm import cdi
+
+    gaps = _cdi_gaps(spark, sf_dir)
+    qrs = cdi.generate_queries(gaps, cdi.templates_dim(spark))
+    return cdi.query_batch(qrs, gaps)
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL builders
 # ---------------------------------------------------------------------------
 
@@ -1689,13 +1728,14 @@ def _docgap_ctes() -> str:
         term_lit = "[" + ", ".join(_lit(t) for t in terms) + "]"
         rule_vals.append(
             f"({r['order']}, {_lit(r['trigger'])}, {_lit(r['category'])},"
-            f" {_lit(r['severity'])}, {_lit(r['issue'])}, {_lit(scope)}, {term_lit})"
+            f" {_lit(r['severity'])}, {_lit(r['issue'])}, {_lit(scope)}, {term_lit},"
+            f" {_lit(r.get('query'))}, {_lit(r.get('impact'))})"
         )
     lat_vals = ",\n    ".join(f"({i}, {_lit(c)})" for i, c in enumerate(lats))
     lat_terms = " OR ".join(
         f"contains(ml, {_lit(t)}) OR contains(tl, {_lit(t)})" for t in docgaps.LATERALITY_TERMS
     )
-    return f"""grules(rule_order, trigger, category, severity, issue, specific_scope, specific_terms) AS (
+    return f"""grules(rule_order, trigger, category, severity, issue, specific_scope, specific_terms, query_text, impact) AS (
   VALUES {",{}    ".format(chr(10)).join(rule_vals)}),
 glats(lat_order, condition) AS (VALUES {lat_vals}),
 mtext AS (
@@ -1704,9 +1744,9 @@ mtext AS (
   FROM turns t JOIN exp e USING (tmpl) JOIN tmpls m USING (tmpl)),
 spec_gaps AS (
   SELECT conv_id, turn_idx, start_offset, finding,
-         'specificity' AS gap_type, category, severity, issue
+         'specificity' AS gap_type, category, severity, issue, query_text, impact
   FROM (
-    SELECT mt.*, r.category, r.severity, r.issue,
+    SELECT mt.*, r.category, r.severity, r.issue, r.query_text, r.impact,
            row_number() OVER (PARTITION BY mt.conv_id, mt.turn_idx, mt.start_offset
                               ORDER BY r.rule_order) AS rk
     FROM mtext mt JOIN grules r ON contains(mt.ml, r.trigger)
@@ -1720,7 +1760,9 @@ lat_gaps AS (
   SELECT conv_id, turn_idx, start_offset, finding,
          'laterality' AS gap_type, 'laterality' AS category,
          'high' AS severity,
-         'Laterality not specified for ' || condition AS issue
+         'Laterality not specified for ' || condition AS issue,
+         'Is this ' || condition || ' on the left, right, or bilateral?' AS query_text,
+         'Laterality is REQUIRED for valid ICD-10 coding of this condition' AS impact
   FROM (
     SELECT mt.*, l.condition,
            row_number() OVER (PARTITION BY mt.conv_id, mt.turn_idx, mt.start_offset
@@ -3015,6 +3057,110 @@ SELECT c.conv_id, c.total_facts,
 FROM conf c LEFT JOIN buckets b USING (conv_id) LEFT JOIN medc m USING (conv_id)"""
 
 
+def _cdi_ctes() -> str:
+    from kgnorm import cdi
+
+    trows = ",\n    ".join(
+        f"({_lit(k)}, {_lit(t['question'])}, {len(t.get('response_options', []))},"
+        f" {_lit(','.join(t.get('coding_impacts', [])))},"
+        f" {_lit('; '.join(t.get('regulatory_basis', [])))})"
+        for k, t in cdi.load_templates().items()
+    )
+    hcc = " OR ".join(f"contains(fl, {_lit(t)})" for t in cdi.HCC_CONDITIONS)
+    cc = " OR ".join(f"contains(fl, {_lit(t)})" for t in cdi.CC_CONDITIONS)
+    qual = " OR ".join(f"contains(fl, {_lit(t)})" for t in cdi.QUALITY_CONDITIONS)
+    return f"""ctempl(template_key, question, n_options, coding_impacts, regulatory_basis) AS (
+  VALUES {trows}),
+gkeyed AS (
+  SELECT g.*, lower(finding) AS fl, lower(issue) AS il,
+    coalesce(
+      CASE WHEN contains(lower(finding), 'diabetes') OR contains(lower(finding), 'dm') THEN
+        CASE WHEN contains(lower(issue), 'type') THEN 'diabetes_type'
+             WHEN contains(lower(issue), 'complication') THEN 'diabetes_complications'
+             WHEN contains(lower(issue), 'control') THEN 'diabetes_control' END END,
+      CASE WHEN contains(lower(finding), 'heart failure') OR contains(lower(finding), 'chf')
+                OR contains(lower(finding), 'hf') THEN
+        CASE WHEN contains(lower(issue), 'type') OR contains(lower(issue), 'systolic')
+                  OR contains(lower(issue), 'diastolic') THEN 'heart_failure_type'
+             WHEN contains(lower(issue), 'acute') OR contains(lower(issue), 'chronic')
+                  THEN 'heart_failure_acuity' END END,
+      CASE WHEN contains(lower(finding), 'ckd') OR contains(lower(finding), 'chronic kidney')
+           THEN 'ckd_stage' END,
+      CASE WHEN contains(lower(finding), 'hypertension') THEN 'hypertension_control' END,
+      CASE WHEN contains(lower(finding), 'fracture') THEN
+        CASE WHEN contains(lower(issue), 'episode') OR contains(lower(issue), 'initial')
+             THEN 'fracture_episode' END END,
+      CASE WHEN contains(lower(finding), 'stroke') OR contains(lower(finding), 'cva')
+           THEN 'stroke_type' END,
+      CASE WHEN category = 'laterality' THEN 'laterality' END,
+      CASE WHEN category = 'medical_necessity' THEN 'procedure_medical_necessity' END
+    ) AS template_key
+  FROM all_gaps g),
+cqueries AS (
+  SELECT k.conv_id, k.turn_idx, k.start_offset, k.finding, k.category, k.severity,
+    substring(sha256(concat_ws(chr(0), k.conv_id, k.turn_idx, k.start_offset,
+                               k.finding, k.category)), 1, 16) AS query_id,
+    k.template_key,
+    coalesce(t.question, k.query_text) AS question,
+    'pending' AS status,
+    CASE WHEN k.severity = 'critical' THEN 'urgent'
+         WHEN k.severity = 'high' THEN 'routine'
+         WHEN k.severity = 'medium' THEN 'routine'
+         ELSE 'deferred' END AS priority,
+    CASE WHEN k.severity = 'critical' THEN 1
+         WHEN k.severity IN ('high', 'medium') THEN 2 ELSE 3 END AS prio_rank,
+    coalesce(t.coding_impacts,
+      array_to_string(list_filter([
+        CASE WHEN {hcc} THEN 'HCC' END,
+        CASE WHEN {cc} THEN 'CC_MCC' END,
+        'SPECIFICITY',
+        CASE WHEN {qual} THEN 'QUALITY' END], x -> x IS NOT NULL), ',')
+    ) AS coding_impacts,
+    CAST(CASE k.severity WHEN 'critical' THEN 500.0 WHEN 'high' THEN 150.0
+                         WHEN 'medium' THEN 50.0 WHEN 'low' THEN 10.0
+                         ELSE 25.0 END AS DOUBLE) AS estimated_revenue_impact,
+    CASE WHEN k.severity IN ('critical', 'high') THEN 'HIGH'
+         WHEN k.severity = 'medium' THEN 'MEDIUM' ELSE 'LOW' END AS cer_strength,
+    coalesce(t.regulatory_basis, 'ICD-10-CM Official Guidelines') AS regulatory_basis,
+    coalesce(t.n_options, 0) AS n_options
+  FROM gkeyed k LEFT JOIN ctempl t USING (template_key)),
+cranked AS (
+  SELECT *, cast(row_number() OVER (PARTITION BY conv_id
+    ORDER BY prio_rank, estimated_revenue_impact DESC, turn_idx, start_offset, finding)
+    AS int) AS query_rank
+  FROM cqueries)"""
+
+
+def _oracle_cdi_queries() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_templates_cte()},
+{_docgap_ctes()},
+{_cdi_ctes()}
+SELECT conv_id, finding, category, severity, query_id, template_key, question,
+       status, priority, coding_impacts, estimated_revenue_impact, cer_strength,
+       regulatory_basis, CAST(n_options AS INT) AS n_options, query_rank
+FROM cranked"""
+
+
+def _oracle_cdi_batch() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_templates_cte()},
+{_docgap_ctes()},
+{_cdi_ctes()}
+SELECT q.conv_id,
+       count(*) AS total_queries,
+       CAST(sum(CASE WHEN priority = 'stat' THEN 1 ELSE 0 END) AS BIGINT) AS n_stat,
+       CAST(sum(CASE WHEN priority = 'urgent' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(sum(CASE WHEN priority = 'routine' THEN 1 ELSE 0 END) AS BIGINT) AS n_routine,
+       CAST(sum(CASE WHEN priority = 'deferred' THEN 1 ELSE 0 END) AS BIGINT) AS n_deferred,
+       CAST(max(CASE WHEN contains(coding_impacts, 'DRG_CHANGE') THEN 1 ELSE 0 END) AS INT)
+         AS drg_impact_possible,
+       CAST(max(CASE WHEN contains(coding_impacts, 'HCC') THEN 1 ELSE 0 END) AS INT)
+         AS hcc_impact_possible,
+       CAST(round(sum(CASE severity WHEN 'critical' THEN 500.0 WHEN 'high' THEN 150.0
+                                    WHEN 'medium' THEN 50.0 ELSE 10.0 END), 2) AS DOUBLE)
+         AS revenue_at_risk
+FROM cranked q GROUP BY 1"""
+
+
 def _oracle_source_records_csv() -> str:
     codes = _sql_cycle([c for c, _n in _ETL_COND_CODES], 8)
     names = _sql_cycle([n for _c, n in _ETL_COND_CODES], 8)
@@ -3250,6 +3396,8 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "summary_medications": _q_summary_medications,
         "summary_critical": _q_summary_critical,
         "summary_rollup": _q_summary_rollup,
+        "cdi_queries": _q_cdi_queries,
+        "cdi_batch": _q_cdi_batch,
     }
 
 
@@ -3326,4 +3474,6 @@ def oracle_sql() -> dict[str, str]:
         "summary_medications": _oracle_summary_medications(),
         "summary_critical": _oracle_summary_critical(),
         "summary_rollup": _oracle_summary_rollup(),
+        "cdi_queries": _oracle_cdi_queries(),
+        "cdi_batch": _oracle_cdi_batch(),
     }

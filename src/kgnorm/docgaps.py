@@ -65,10 +65,12 @@ def rules_dim(spark: SparkSession, data_dir: str | None = None) -> DataFrame:
     for r in rules:
         scope, terms = SPECIFIC_TERMS.get(r["trigger"], ("text", []))
         rows.append((r["order"], r["trigger"], r["category"], r["severity"],
-                     r["issue"], scope, terms))
+                     r["issue"], scope, terms,
+                     r.get("query"), r.get("impact")))
     return spark.createDataFrame(
         rows, "rule_order int, trigger string, category string, severity string,"
-              " issue string, specific_scope string, specific_terms array<string>"
+              " issue string, specific_scope string, specific_terms array<string>,"
+              " query_text string, impact string"
     )
 
 
@@ -80,7 +82,8 @@ def laterality_dim(spark: SparkSession, data_dir: str | None = None) -> DataFram
 
 
 def detect_gaps(mentions: DataFrame, transcripts: DataFrame,
-                rules: DataFrame, lateralities: DataFrame) -> DataFrame:
+                rules: DataFrame, lateralities: DataFrame,
+                with_query: bool = False) -> DataFrame:
     """Per-mention documentation gaps.
 
     ``mentions``: needs (conv_id, turn_idx, mention_text); turn text is
@@ -112,6 +115,7 @@ def detect_gaps(mentions: DataFrame, transcripts: DataFrame,
             "conv_id", "turn_idx", "start_offset", "finding",
             F.lit("specificity").alias("gap_type"),
             "category", "severity", "issue",
+            *((F.col("query_text"), F.col("impact")) if with_query else ()),
         )
     )
 
@@ -132,6 +136,13 @@ def detect_gaps(mentions: DataFrame, transcripts: DataFrame,
             F.lit("laterality").alias("category"),
             F.lit("high").alias("severity"),
             F.concat(F.lit("Laterality not specified for "), F.col("condition")).alias("issue"),
+            # documentation_gaps.py:500-502
+            *((
+                F.concat(F.lit("Is this "), F.col("condition"),
+                         F.lit(" on the left, right, or bilateral?")).alias("query_text"),
+                F.lit("Laterality is REQUIRED for valid ICD-10 coding of this condition")
+                .alias("impact"),
+            ) if with_query else ()),
         )
     )
     return spec_gaps.unionByName(lat_gaps)
