@@ -1386,6 +1386,64 @@ def _q_cdi_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# semantic QA / search services (round 3)
+# ---------------------------------------------------------------------------
+
+_SEARCH_QUERIES = [
+    "table scan fast",
+    "window agg join",
+    "customer query order",
+    "zzz missing tokens",
+]
+_FACT_SEARCH_QUERIES = [
+    "type 2 diabetes mellitus",   # near-exact concept name
+    "heart failure",              # partial
+    "lisinopril",                 # drug name
+]
+_RELATION_CONCEPTS = ["diabetes", "lisinopril", "hemoglobin"]
+
+
+def _q_search_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword search over the documents corpus
+    (semantic_qa.py:319-356)."""
+    from kgnorm import semsearch
+
+    return semsearch.keyword_search(
+        _docs(spark, sf_dir), spark, _SEARCH_QUERIES
+    ).select("query", "doc_id", "score", "rank")
+
+
+def _q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid keyword+semantic merge (semantic_qa.py:391-409)."""
+    from kgnorm import semsearch
+
+    return semsearch.hybrid_search(
+        _docs(spark, sf_dir), spark, _SEARCH_QUERIES
+    ).select("query", "doc_id", "score", "rank")
+
+
+def _q_fact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine clinical-fact search
+    (semantic_search.py:55-121)."""
+    from kgnorm import semsearch
+
+    facts = _stages(spark, sf_dir)["facts"]
+    return semsearch.fact_search(facts, spark, _FACT_SEARCH_QUERIES).select(
+        "query", "conv_id", "name", "domain", "assertion", "temporality",
+        F.col("omop_concept_id").cast("long").alias("omop_concept_id"),
+        "score", "rank",
+    )
+
+
+def _q_concept_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concept-relation search over fact pairs (semantic_qa.py:662-750)."""
+    from kgnorm import semsearch
+
+    facts = _stages(spark, sf_dir)["facts"]
+    return semsearch.concept_relations(facts, spark, _RELATION_CONCEPTS)
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL builders
 # ---------------------------------------------------------------------------
 
@@ -3161,6 +3219,164 @@ SELECT q.conv_id,
 FROM cranked q GROUP BY 1"""
 
 
+_TOKSPLIT_SQL = "[^0-9A-Za-z_]+"
+
+
+def _search_ctes() -> str:
+    qvals = ",\n    ".join(f"({_lit(q)})" for q in _SEARCH_QUERIES)
+    return f"""sq(query) AS (VALUES {qvals}),
+qt AS (
+  SELECT query, unnest(list_distinct(list_filter(
+    string_split_regex(lower(query), '{_TOKSPLIT_SQL}'), t -> len(t) > 0))) AS token
+  FROM sq),
+dt AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split_regex(lower(text), '{_TOKSPLIT_SQL}'), t -> len(t) > 0)) AS token
+  FROM documents),
+idft AS (
+  SELECT token, ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / (count(DISTINCT doc_id) + 1)) + 1.0 AS idf
+  FROM dt GROUP BY 1),
+dbase AS (
+  SELECT doc_id, lower(text) AS cl,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)) AS nsplit
+  FROM documents),
+kw_scored AS (
+  SELECT o.query, o.doc_id,
+         round(least(sum(
+           (length(b.cl) - length(replace(b.cl, o.token, ''))) / length(o.token)
+           / b.nsplit * coalesce(i.idf, 1.0)), 1.0), 6) AS score
+  FROM (SELECT DISTINCT d.doc_id, d.token, q.query FROM dt d JOIN qt q USING (token)) o
+  LEFT JOIN idft i USING (token) JOIN dbase b USING (doc_id)
+  GROUP BY 1, 2),
+dvec AS (
+  SELECT d.doc_id, d.token, count(*) * 1.0 / max(l.len) * coalesce(max(i.idf), 1.0) AS w
+  FROM dt d
+  JOIN (SELECT doc_id, count(*) AS len FROM dt GROUP BY 1) l USING (doc_id)
+  LEFT JOIN idft i USING (token)
+  GROUP BY 1, 2),
+dnorm AS (SELECT doc_id, sqrt(sum(w * w)) AS dn FROM dvec GROUP BY 1),
+qtok_all AS (
+  SELECT query, unnest(list_filter(
+    string_split_regex(lower(query), '{_TOKSPLIT_SQL}'), t -> len(t) > 0)) AS token
+  FROM sq),
+qvec AS (
+  SELECT q.query, q.token, count(*) * 1.0 / max(l.len) * coalesce(max(i.idf), 1.0) AS qw
+  FROM qtok_all q
+  JOIN (SELECT query, count(*) AS len FROM qtok_all GROUP BY 1) l USING (query)
+  LEFT JOIN idft i USING (token)
+  GROUP BY 1, 2),
+qnorm AS (SELECT query, sqrt(sum(qw * qw)) AS qn FROM qvec GROUP BY 1),
+sem_scored AS (
+  SELECT x.query, x.doc_id, round(x.dot / (qn.qn * dn.dn), 6) AS score
+  FROM (SELECT v.query, d.doc_id, sum(d.w * v.qw) AS dot
+        FROM dvec d JOIN qvec v USING (token) GROUP BY 1, 2) x
+  JOIN qnorm qn USING (query) JOIN dnorm dn USING (doc_id)
+  WHERE qn.qn > 0 AND dn.dn > 0 AND round(x.dot / (qn.qn * dn.dn), 6) > 0)"""
+
+
+def _oracle_search_keyword() -> str:
+    return f"""WITH {_search_ctes()}
+SELECT query, doc_id, score, cast(rank AS int) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) AS rank
+      FROM kw_scored WHERE score >= 0.1)
+WHERE rank <= 10"""
+
+
+def _oracle_search_hybrid() -> str:
+    return f"""WITH {_search_ctes()},
+merged AS (
+  SELECT coalesce(k.query, s.query) AS query,
+         coalesce(k.doc_id, s.doc_id) AS doc_id,
+         round(CASE WHEN k.score IS NOT NULL AND s.score IS NOT NULL
+                    THEN (k.score + s.score) / 2.0
+                    ELSE coalesce(k.score, s.score) END, 6) AS score
+  FROM kw_scored k FULL JOIN sem_scored s
+    ON k.query = s.query AND k.doc_id = s.doc_id)
+SELECT query, doc_id, score, cast(rank AS int) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) AS rank
+      FROM merged WHERE score >= 0.1)
+WHERE rank <= 10"""
+
+
+def _oracle_fact_search() -> str:
+    from kgnorm import semantic
+
+    def emb_lit(vec):
+        return "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + "]"
+
+    qrows = ",\n    ".join(
+        f"({_lit(q)}, {emb_lit(semantic.hash_embed(q))})" for q in _FACT_SEARCH_QUERIES
+    )
+    dot = _DOT.format(a="q.q_emb", b="n.emb")
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()},
+qe(query, q_emb) AS (VALUES {qrows}),
+names AS (SELECT DISTINCT concept_name AS name FROM facts),
+nemb AS (SELECT name, emb FROM (
+  SELECT name, {_name_emb_sql()} AS emb FROM names)),
+scored AS (
+  SELECT q.query, n.name, round({dot}, 6) AS score
+  FROM qe q CROSS JOIN nemb n
+  WHERE round({dot}, 6) >= 0.5),
+fanned AS (
+  SELECT s.query, f.conv_id, s.name, f.domain, f.assertion, f.temporality,
+         f.omop_concept_id, s.score
+  FROM facts f JOIN scored s ON f.concept_name = s.name)
+SELECT query, conv_id, name, domain, assertion, temporality,
+       omop_concept_id, score, cast(rank AS int) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query
+        ORDER BY score DESC, conv_id, name, omop_concept_id) AS rank FROM fanned)
+WHERE rank <= 10"""
+
+
+def _name_emb_sql() -> str:
+    """CASE mapping distinct fixture concept names → embedding literals
+    (the name set is closed: every fact concept_name comes from the
+    fixture ontology's dictionary)."""
+    from kgnorm import semantic
+
+    def emb_lit(vec):
+        return "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec) + "]"
+
+    names = sorted({m[1] for m in _expected_mentions()})
+    whens = "\n    ".join(
+        f"WHEN {_lit(n)} THEN {emb_lit(semantic.hash_embed(n))}" for n in names
+    )
+    return f"CASE name\n    {whens}\n    END"
+
+
+def _oracle_concept_relations() -> str:
+    cvals = ",\n    ".join(f"({_lit(c)})" for c in _RELATION_CONCEPTS)
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()},
+cq(query_concept) AS (VALUES {cvals}),
+fbase AS (SELECT conv_id, concept_name AS label, domain FROM facts),
+anchors AS (
+  SELECT c.query_concept, f.* FROM fbase f
+  JOIN cq c ON contains(lower(f.label), lower(c.query_concept))),
+pairs AS (
+  SELECT a.query_concept, a.label, a.domain, o.label AS other_label, o.domain AS other_domain
+  FROM anchors a JOIN fbase o USING (conv_id)
+  WHERE a.label <> o.label OR a.domain <> o.domain),
+rels AS (
+  SELECT DISTINCT query_concept,
+    CASE WHEN domain = 'condition' AND other_domain = 'drug' THEN other_label
+         WHEN domain = 'drug' AND other_domain = 'condition' THEN label
+         WHEN domain = 'measurement' AND other_domain = 'condition' THEN label END AS source,
+    CASE WHEN domain = 'condition' AND other_domain = 'drug' THEN 'treats'
+         WHEN domain = 'drug' AND other_domain = 'condition' THEN 'treats'
+         WHEN domain = 'measurement' AND other_domain = 'condition' THEN 'monitors' END AS relationship,
+    CASE WHEN domain = 'condition' AND other_domain = 'drug' THEN label
+         WHEN domain = 'drug' AND other_domain = 'condition' THEN other_label
+         WHEN domain = 'measurement' AND other_domain = 'condition' THEN other_label END AS target
+  FROM pairs
+  WHERE (domain = 'condition' AND other_domain = 'drug')
+     OR (domain = 'drug' AND other_domain = 'condition')
+     OR (domain = 'measurement' AND other_domain = 'condition'))
+SELECT query_concept, source, relationship, target, cast(rank AS int) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_concept
+        ORDER BY source, relationship, target) AS rank FROM rels)
+WHERE rank <= 20"""
+
+
 def _oracle_source_records_csv() -> str:
     codes = _sql_cycle([c for c, _n in _ETL_COND_CODES], 8)
     names = _sql_cycle([n for _c, n in _ETL_COND_CODES], 8)
@@ -3398,6 +3614,10 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "summary_rollup": _q_summary_rollup,
         "cdi_queries": _q_cdi_queries,
         "cdi_batch": _q_cdi_batch,
+        "search_keyword": _q_search_keyword,
+        "search_hybrid": _q_search_hybrid,
+        "fact_search": _q_fact_search,
+        "concept_relations": _q_concept_relations,
     }
 
 
@@ -3476,4 +3696,8 @@ def oracle_sql() -> dict[str, str]:
         "summary_rollup": _oracle_summary_rollup(),
         "cdi_queries": _oracle_cdi_queries(),
         "cdi_batch": _oracle_cdi_batch(),
+        "search_keyword": _oracle_search_keyword(),
+        "search_hybrid": _oracle_search_hybrid(),
+        "fact_search": _oracle_fact_search(),
+        "concept_relations": _oracle_concept_relations(),
     }

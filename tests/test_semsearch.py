@@ -1,0 +1,135 @@
+"""Semantic QA / search — behavior pinned against
+backend/app/services/semantic_qa.py and semantic_search.py."""
+
+import math
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the heart is healthy"),
+        (2, "heart heart heart failure"),
+        (3, "nothing relevant here at all"),
+        (4, "heart art artwork"),  # substring-count quirk doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestKeywordSearch:
+    def test_idf_and_tf(self, spark, docs):
+        from kgnorm import semsearch
+
+        out = {r["doc_id"]: r["score"] for r in
+               semsearch.keyword_search(docs, spark, ["heart"], 0.0, 100).collect()}
+        # idf('heart') = ln(4/(3+1))+1 = 1.0 (docs 1,2,4 contain it)
+        # doc 2: 3 substring occurrences / 4 whitespace words = 0.75
+        assert out[2] == 0.75
+        # doc 1: 1 occurrence / 4 words = 0.25
+        assert out[1] == 0.25
+        # doc 3 has no overlap → absent
+        assert 3 not in out
+
+    def test_substring_count_quirk(self, spark, docs):
+        from kgnorm import semsearch
+
+        out = {r["doc_id"]: r["score"] for r in
+               semsearch.keyword_search(docs, spark, ["art"], 0.0, 100).collect()}
+        # 'art' is a TOKEN only in doc 4, but the reference counts
+        # SUBSTRING occurrences (semantic_qa.py:332): heart+art+artwork
+        # = 3 hits / 3 words; idf('art') = ln(4/2)+1
+        exp = 3 / 3 * (math.log(4 / 2) + 1)
+        assert out[4] == round(min(exp, 1.0), 6)
+        # docs 1, 2 contain 'art' as substring only — no token overlap,
+        # so they are never scored (:324-327)
+        assert 1 not in out and 2 not in out
+
+    def test_min_score_and_cap(self, spark, docs):
+        from kgnorm import semsearch
+
+        rows = semsearch.keyword_search(docs, spark, ["heart"], 0.3, 1).collect()
+        assert len(rows) == 1 and rows[0]["doc_id"] == 2 and rows[0]["rank"] == 1
+
+
+class TestSemanticAndHybrid:
+    def test_identical_doc_scores_1(self, spark):
+        from kgnorm import semsearch
+
+        d = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "delta epsilon")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["score"] for r in
+               semsearch.semantic_search(d, spark, ["alpha beta gamma"], 0.0, 10).collect()}
+        # query vector == doc-1 vector → cosine 1.0
+        assert out[1] == 1.0
+        assert 2 not in out  # zero overlap → dot 0 → filtered (>0)
+
+    def test_hybrid_averages(self, spark):
+        from kgnorm import semsearch
+
+        d = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+        kw = {r["doc_id"]: r["score"] for r in
+              semsearch.keyword_search(d, spark, ["alpha"], 0.0, 10).collect()}
+        sem = {r["doc_id"]: r["score"] for r in
+               semsearch.semantic_search(d, spark, ["alpha"], 0.0, 10).collect()}
+        hyb = {r["doc_id"]: r["score"] for r in
+               semsearch.hybrid_search(d, spark, ["alpha"], 0.0, 10).collect()}
+        # Spark rounds HALF_UP, Python half-even — compare within an ulp
+        # of the 6-dp grid
+        assert abs(hyb[1] - (kw[1] + sem[1]) / 2) <= 6e-7
+
+
+class TestFactSearchAndRelations:
+    FACTS = (
+        "conv_id string, concept_name string, domain string, assertion string,"
+        " temporality string, omop_concept_id long"
+    )
+
+    def test_fact_search_exact_name(self, spark):
+        from kgnorm import semsearch
+
+        f = spark.createDataFrame(
+            [("C1", "Type 2 diabetes mellitus", "condition", "present", "current", 201826),
+             ("C1", "Metformin", "drug", "present", "current", 40164929)],
+            self.FACTS)
+        out = semsearch.fact_search(f, spark, ["type 2 diabetes mellitus"]).collect()
+        # exact (case-insensitive) name → cosine 1.0, rank 1
+        assert out[0]["name"] == "Type 2 diabetes mellitus"
+        assert out[0]["score"] == 1.0 and out[0]["rank"] == 1
+        # metformin is dissimilar → below 0.5 threshold
+        assert all(r["name"] != "Metformin" for r in out)
+
+    def test_relation_inference_asymmetry(self, spark):
+        from kgnorm import semsearch
+
+        f = spark.createDataFrame(
+            [("C1", "Type 2 diabetes mellitus", "condition", "present", "current", 201826),
+             ("C1", "Metformin", "drug", "present", "current", 40164929),
+             ("C1", "Hemoglobin A1c", "measurement", "present", "current", 3004410)],
+            self.FACTS)
+        out = semsearch.concept_relations(f, spark, ["diabetes", "hemoglobin"]).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_concept"], set()).add(
+                (r["source"], r["relationship"], r["target"]))
+        # condition anchor × drug → drug treats condition (:725-731)
+        assert ("Metformin", "treats", "Type 2 diabetes mellitus") in by_q["diabetes"]
+        # condition anchor × measurement → NO relation (reference has no
+        # condition→measurement branch, :722-750)
+        assert all(rel != "monitors" for _s, rel, _t in by_q["diabetes"])
+        # measurement anchor × condition → monitors
+        assert ("Hemoglobin A1c", "monitors", "Type 2 diabetes mellitus") in by_q["hemoglobin"]
+
+    def test_relation_dedup_and_cap(self, spark):
+        from kgnorm import semsearch
+
+        rows = [("C%d" % i, "Sepsis", "condition", "present", "current", 1)
+                for i in range(3)]
+        rows += [("C%d" % i, "Vancomycin", "drug", "present", "current", 2)
+                 for i in range(3)]
+        f = spark.createDataFrame(rows, self.FACTS)
+        out = semsearch.concept_relations(f, spark, ["sepsis"]).collect()
+        # same (source, rel, target) across 3 conversations → one row
+        assert len(out) == 1
+        assert out[0]["rank"] == 1
