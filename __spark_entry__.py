@@ -1443,6 +1443,24 @@ def _q_concept_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semsearch.concept_relations(facts, spark, _RELATION_CONCEPTS)
 
 
+def _q_lab_causes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abnormal lab values with their likely-cause lists
+    (lab_reference.py:794-807): interpretation chained into the
+    direction-keyed causes dimension."""
+    from kgnorm import labs, values as values_mod
+
+    cv = values_mod.extract_values(_stages(spark, sf_dir)["transcripts"])
+    lab_vals = cv.filter(F.col("value").isNotNull()).select(
+        "conv_id", "turn_idx", "kind", "name", "value"
+    )
+    interp = labs.interpret_labs(lab_vals, labs.reference_dim(spark))
+    out = labs.with_causes(interp, labs.causes_dim(spark))
+    return out.filter(F.col("causes").isNotNull()).select(
+        "conv_id", "turn_idx", "name", "value", "test_code", "level",
+        F.array_join("causes", "; ").alias("causes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders
 # ---------------------------------------------------------------------------
@@ -3377,6 +3395,25 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_concept
 WHERE rank <= 20"""
 
 
+def _oracle_lab_causes() -> str:
+    from kgnorm import labs
+
+    _ranges, causes = labs.load_lab_reference()
+    cause_rows = []
+    for code, dirs in causes.items():
+        for direction, lst in dirs.items():
+            cause_rows.append((code.lower(), direction, "; ".join(lst)))
+    return f"""WITH interp AS (
+{_oracle_lab_interpret()}
+),
+cdim(code_l, direction, causes) AS (VALUES {_values(cause_rows)})
+SELECT i.conv_id, i.turn_idx, i.name, i.value, i.test_code, i.level, c.causes
+FROM interp i
+JOIN cdim c ON lower(i.test_code) = c.code_l
+           AND c.direction = CASE WHEN i.level IN ('low', 'critical_low') THEN 'low'
+                                  WHEN i.level IN ('high', 'critical_high') THEN 'high' END"""
+
+
 def _oracle_source_records_csv() -> str:
     codes = _sql_cycle([c for c, _n in _ETL_COND_CODES], 8)
     names = _sql_cycle([n for _c, n in _ETL_COND_CODES], 8)
@@ -3618,6 +3655,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "search_hybrid": _q_search_hybrid,
         "fact_search": _q_fact_search,
         "concept_relations": _q_concept_relations,
+        "lab_causes": _q_lab_causes,
     }
 
 
@@ -3700,4 +3738,5 @@ def oracle_sql() -> dict[str, str]:
         "search_hybrid": _oracle_search_hybrid(),
         "fact_search": _oracle_fact_search(),
         "concept_relations": _oracle_concept_relations(),
+        "lab_causes": _oracle_lab_causes(),
     }

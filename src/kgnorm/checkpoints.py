@@ -7,12 +7,15 @@ written to a table; on resume, stages whose outputs already exist and
 are complete are read back instead of recomputed.  Deterministic IDs
 (kgnorm.graph) make a resumed run byte-identical to a fresh one.
 
-Storage: Iceberg when a catalog is configured (production —
-``writeTo(...).createOrReplace()`` gives atomic commits + snapshots);
-otherwise plain parquet directories where completeness = Spark's
-``_SUCCESS`` marker.  The sandbox has no Iceberg runtime jar, so parquet
-is the tested path; the Iceberg branch is the same two calls via the
-table catalog.
+Storage: a V2 table catalog when one is configured (production —
+Iceberg's ``writeTo(...).createOrReplace()`` gives atomic commits +
+snapshots); otherwise plain parquet directories where completeness =
+Spark's ``_SUCCESS`` marker.  The catalog branch is format-parametric:
+with Iceberg on the classpath it runs ``createOrReplace`` (atomic RTAS);
+for catalogs whose format lacks RTAS (e.g. the built-in session catalog
+with parquet, which is how the branch is exercised in this sandbox —
+there is no Iceberg runtime jar here) it degrades to drop + CTAS, the
+same catalog API surface minus the atomicity.
 """
 
 from __future__ import annotations
@@ -25,9 +28,11 @@ from pyspark.sql import DataFrame, SparkSession
 class StageStore:
     """Directory-backed stage table store with existence-based resume."""
 
-    def __init__(self, base_dir: str, catalog: str | None = None) -> None:
+    def __init__(self, base_dir: str, catalog: str | None = None,
+                 table_format: str = "iceberg") -> None:
         self.base_dir = base_dir
-        self.catalog = catalog  # e.g. "kg" → Iceberg tables kg.<stage>
+        self.catalog = catalog  # e.g. "kg" → catalog tables kg.<stage>
+        self.table_format = table_format
 
     def _path(self, name: str) -> str:
         return os.path.join(self.base_dir, name)
@@ -40,11 +45,18 @@ class StageStore:
 
     def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
         if self.catalog:
-            writer = df.writeTo(f"{self.catalog}.{name}").using("iceberg")
+            table = f"{self.catalog}.{name}"
+            writer = df.writeTo(table).using(self.table_format)
             if partition_by:
                 from pyspark.sql.functions import col
                 writer = writer.partitionedBy(*[col(c) for c in partition_by])
-            writer.createOrReplace()
+            if self.table_format == "iceberg":
+                # atomic replace — readers never see a half-written stage
+                writer.createOrReplace()
+            else:
+                # session-catalog formats have no RTAS: drop + CTAS
+                df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+                writer.create()
             return
         w = df.write.mode("overwrite")
         if partition_by:

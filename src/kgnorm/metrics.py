@@ -105,25 +105,40 @@ def aggregated_quality(per_doc: DataFrame) -> DataFrame:
         "mapping_success_rate",
         F.round(F.col("mappings_succeeded") / F.col("mappings_attempted"), 6),
     )
-    w = Window.orderBy("m", "conv_id")
-    ranked = (
-        per_doc.select("conv_id", F.col("mentions_extracted").alias("m"))
-        .withColumn("rn", F.row_number().over(w))
+    # Exact index-percentiles WITHOUT a global per-doc sort: the selected
+    # value depends only on m (the reference's conv_id tie-break orders
+    # equal-m rows among themselves, never changing the m at any index),
+    # so the k-th order statistic over 10^9 docs reduces to a cumulative
+    # count over the groupBy(m) histogram — the only globally-ordered
+    # window runs over #distinct-mention-counts rows (tiny), not #docs.
+    # (r2 verdict item: the old row_number() over Window.orderBy(m,
+    # conv_id) funneled the whole per-doc table through one task.)
+    counts = per_doc.groupBy(F.col("mentions_extracted").alias("m")).agg(
+        F.count(F.lit(1)).alias("c")
     )
+    wm = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("cum", F.sum("c").over(wm))
     picked = (
-        ranked.crossJoin(F.broadcast(stats.select("document_count")))
+        cum.crossJoin(F.broadcast(stats.select("document_count")))
         .select(
-            "m", "rn",
+            "m", "c", "cum",
             (F.floor(F.col("document_count") / 2) + 1).alias("i50"),
             F.when(F.col("document_count") > 20,
                    F.floor(F.col("document_count") * 0.95) + 1).alias("i95"),
             F.when(F.col("document_count") > 100,
                    F.floor(F.col("document_count") * 0.99) + 1).alias("i99"),
         )
+        # index i falls inside m's run iff cum - c < i <= cum
         .agg(
-            F.max(F.when(F.col("rn") == F.col("i50"), F.col("m"))).alias("p50_mentions"),
-            F.max(F.when(F.col("rn") == F.col("i95"), F.col("m"))).alias("p95_mentions_idx"),
-            F.max(F.when(F.col("rn") == F.col("i99"), F.col("m"))).alias("p99_mentions_idx"),
+            F.max(F.when((F.col("i50") > F.col("cum") - F.col("c"))
+                         & (F.col("i50") <= F.col("cum")), F.col("m")))
+            .alias("p50_mentions"),
+            F.max(F.when((F.col("i95") > F.col("cum") - F.col("c"))
+                         & (F.col("i95") <= F.col("cum")), F.col("m")))
+            .alias("p95_mentions_idx"),
+            F.max(F.when((F.col("i99") > F.col("cum") - F.col("c"))
+                         & (F.col("i99") <= F.col("cum")), F.col("m")))
+            .alias("p99_mentions_idx"),
         )
     )
     return stats.crossJoin(F.broadcast(picked)).select(

@@ -73,3 +73,38 @@ def test_accuracy_prf(spark):
     assert (d.precision, d.recall, d.f1_score) == (1.0, 1.0, 1.0)
     a = got["all"]
     assert a.total_samples == 4 and a.tp == 2
+
+
+def test_aggregated_quality_percentiles_with_duplicate_values(spark):
+    # histogram-cumsum path (r3): duplicate m runs must map every index
+    # inside the run to that m — 4 docs with m=[1,1,1,2] → i50=3 → p50=1
+    rows = []
+    for i, m in enumerate([1, 1, 1, 2]):
+        for j in range(m):
+            rows.append((f"D{i}", 0, f"t{j}", 0.9, "Condition", 1))
+    mdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, mention_text string,"
+              " confidence double, domain_hint string, omop_concept_id long")
+    row = metrics.aggregated_quality(metrics.per_doc_metrics(mdf)).collect()[0]
+    assert row.p50_mentions == 1
+    # ≤20 docs → p95/p99 fall back to max (quality_metrics.py idx guards)
+    assert row.p95_mentions == 2 and row.p99_mentions == 2
+
+
+def test_aggregated_quality_no_per_doc_global_sort(spark):
+    # the only Window in the plan must consume the groupBy(m) histogram,
+    # never the raw per-doc table: check the window's child is an
+    # aggregate, which caps the single-partition data at #distinct values
+    rows = [(f"E{i}", 0, "t", 0.9, "Condition", 1) for i in range(30)]
+    mdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, mention_text string,"
+              " confidence double, domain_hint string, omop_concept_id long")
+    plan = metrics.aggregated_quality(
+        metrics.per_doc_metrics(mdf))._jdf.queryExecution().optimizedPlan().toString()
+    ln = plan.splitlines()
+    widx = [i for i, l in enumerate(ln) if "Window" in l]
+    assert widx, "expected a Window for the cumulative histogram"
+    # beneath every Window there must be an Aggregate before any scan
+    for i in widx:
+        below = "\n".join(ln[i:i + 6])
+        assert "Aggregate" in below
