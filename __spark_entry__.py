@@ -1193,6 +1193,28 @@ def _src_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     labs.coalesce(4).write.mode("overwrite").option("header", True).csv(
         os.path.join(root, "labs_csv")
     )
+
+    # HL7 v2 feed: one ADT message per document (MSH/PID/DG1/OBX)
+    hl7_msg = F.concat_ws(
+        "\r",
+        F.format_string("MSH|^~\\&|SRC|FAC|||20240101||ADT^A01|M%d|P|2.5", d),
+        F.concat(F.lit("PID|1||"), F.concat(F.lit("P"), d % _N_PERSONS),
+                 F.lit("^^^MRN||"),
+                 F.format_string("Fam%d^Giv%d", (d % 50).cast("int"), (d % 30).cast("int")),
+                 F.lit("||19600101|"), pick(["M", "F", "O", "U"], 4)),
+        F.concat(F.lit("DG1|1|I10|"), pick([c for c, _n in _ETL_COND_CODES], 8),
+                 F.lit("^"), pick([n for _c, n in _ETL_COND_CODES], 8),
+                 F.lit("^ICD10CM||20240110|"), pick(["F", "A", "W"], 3)),
+        F.concat(F.lit("OBX|1|NM|"), pick([c for c, _n, _i in _ETL_LABS], 4),
+                 F.lit("^"), pick([n for _c, n, _i in _ETL_LABS], 4),
+                 F.lit("^LOINC||"),
+                 F.format_string("%.1f", (d % 100).cast("double") / 10.0),
+                 F.lit("|"), pick(_ETL_UNITS, 5), F.lit("|0.5-9.5|"),
+                 pick(["H", "L", "N"], 3)),
+    )
+    docs.select(hl7_msg.alias("value")).coalesce(4).write.mode("overwrite").text(
+        os.path.join(root, "hl7_feed")
+    )
     _SRC_FIX_WRITTEN.add(key)
     return root
 
@@ -1458,6 +1480,34 @@ def _q_lab_causes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("causes").isNotNull()).select(
         "conv_id", "turn_idx", "name", "value", "test_code", "level",
         F.array_join("causes", "; ").alias("causes"),
+    )
+
+
+def _q_hl7_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HL7 v2 DG1 → SourceCondition over a Spark-written message feed
+    (hl7v2_connector.py:529-579; faithful-dates mode, so onset is NULL
+    exactly like the reference's unparseable datetime path)."""
+    from kgnorm import hl7
+
+    root = _src_fixture_dir(spark, sf_dir)
+    msgs = hl7.read_messages(spark, os.path.join(root, "hl7_feed"))
+    return hl7.hl7_conditions(msgs).select(
+        "source_id", "source_system", "patient_source_id", "code",
+        "code_system", "display_text", "status", "category",
+        F.date_format("onset_datetime", "yyyy-MM-dd").alias("onset_date"),
+    )
+
+
+def _q_hl7_measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HL7 v2 OBX → SourceMeasurement (hl7v2_connector.py:681-761)."""
+    from kgnorm import hl7
+
+    root = _src_fixture_dir(spark, sf_dir)
+    msgs = hl7.read_messages(spark, os.path.join(root, "hl7_feed"))
+    return hl7.hl7_measurements(msgs).select(
+        "source_id", "source_system", "patient_source_id", "code",
+        "code_system", "display_text", "value_numeric", "value_text",
+        "unit", "range_low", "range_high", "interpretation",
     )
 
 
@@ -3395,6 +3445,42 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_concept
 WHERE rank <= 20"""
 
 
+def _oracle_hl7_conditions() -> str:
+    codes = _sql_cycle([c for c, _n in _ETL_COND_CODES], 8)
+    names = _sql_cycle([n for _c, n in _ETL_COND_CODES], 8)
+    cats = _sql_cycle(["F", "A", "W"], 3)
+    return f"""SELECT 'M' || doc_id || '-DG1-0' AS source_id,
+       'hl7v2' AS source_system,
+       'P' || (doc_id % {_N_PERSONS}) AS patient_source_id,
+       {codes} AS code,
+       'ICD10CM' AS code_system,
+       {names} AS display_text,
+       'active' AS status,
+       {cats} AS category,
+       CAST(NULL AS VARCHAR) AS onset_date
+FROM documents"""
+
+
+def _oracle_hl7_measurements() -> str:
+    loinc = _sql_cycle([c for c, _n, _i in _ETL_LABS], 4)
+    names = _sql_cycle([n for _c, n, _i in _ETL_LABS], 4)
+    units = _sql_cycle(_ETL_UNITS, 5)
+    interp = _sql_cycle(["H", "L", "N"], 3)
+    return f"""SELECT 'M' || doc_id || '-OBX-0' AS source_id,
+       'hl7v2' AS source_system,
+       'P' || (doc_id % {_N_PERSONS}) AS patient_source_id,
+       {loinc} AS code,
+       'LOINC' AS code_system,
+       {names} AS display_text,
+       CAST((doc_id % 100) / 10.0 AS DOUBLE) AS value_numeric,
+       CAST(NULL AS VARCHAR) AS value_text,
+       {units} AS unit,
+       CAST(0.5 AS DOUBLE) AS range_low,
+       CAST(9.5 AS DOUBLE) AS range_high,
+       {interp} AS interpretation
+FROM documents"""
+
+
 def _oracle_lab_causes() -> str:
     from kgnorm import labs
 
@@ -3578,6 +3664,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "kg_advanced_mentions": _q_kg_advanced_mentions,
+        "risk_scores": _q_risk_scores,
+        "quality_rollup": _q_quality_rollup,
+        "quality_trend": _q_quality_trend,
+        "accuracy_prf": _q_accuracy_prf,
+        "pattern_relations": _q_pattern_relations,
+        "treats_edges": _q_treats_edges,
+        "kg_canonical_triples": _q_kg_canonical_triples,
+        "kg_positive_facts": _q_kg_positive_facts,
+        "pricing_summary": _q_pricing_summary,
+        "customer_order_stats": _q_customer_order_stats,
+        "source_records_csv": _q_source_records_csv,
+        "source_records_fhir": _q_source_records_fhir,
+        "etl_conditions": _q_etl_conditions,
+        "etl_drugs": _q_etl_drugs,
+        "etl_measurements": _q_etl_measurements,
+        "summary_problems": _q_summary_problems,
+        "summary_one_liner": _q_summary_one_liner,
+        "summary_medications": _q_summary_medications,
+        "summary_critical": _q_summary_critical,
+        "summary_rollup": _q_summary_rollup,
+        "cdi_queries": _q_cdi_queries,
+        "cdi_batch": _q_cdi_batch,
+        "search_keyword": _q_search_keyword,
+        "search_hybrid": _q_search_hybrid,
+        "fact_search": _q_fact_search,
+        "concept_relations": _q_concept_relations,
+        "lab_causes": _q_lab_causes,
+        "hl7_conditions": _q_hl7_conditions,
+        "hl7_measurements": _q_hl7_measurements,
         "kg_mentions": _q_kg_mentions,
         "kg_candidates": _q_kg_candidates,
         "kg_facts": _q_kg_facts,
@@ -3628,39 +3744,41 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_relations": _q_kg_relations,
         "fhir_export": _q_fhir_export,
         "kg_mentions_enhanced": _q_kg_mentions_enhanced,
-        "kg_advanced_mentions": _q_kg_advanced_mentions,
-        "risk_scores": _q_risk_scores,
-        "quality_rollup": _q_quality_rollup,
-        "quality_trend": _q_quality_trend,
-        "accuracy_prf": _q_accuracy_prf,
-        "pattern_relations": _q_pattern_relations,
-        "treats_edges": _q_treats_edges,
-        "kg_canonical_triples": _q_kg_canonical_triples,
-        "kg_positive_facts": _q_kg_positive_facts,
-        "pricing_summary": _q_pricing_summary,
-        "customer_order_stats": _q_customer_order_stats,
-        "source_records_csv": _q_source_records_csv,
-        "source_records_fhir": _q_source_records_fhir,
-        "etl_conditions": _q_etl_conditions,
-        "etl_drugs": _q_etl_drugs,
-        "etl_measurements": _q_etl_measurements,
-        "summary_problems": _q_summary_problems,
-        "summary_one_liner": _q_summary_one_liner,
-        "summary_medications": _q_summary_medications,
-        "summary_critical": _q_summary_critical,
-        "summary_rollup": _q_summary_rollup,
-        "cdi_queries": _q_cdi_queries,
-        "cdi_batch": _q_cdi_batch,
-        "search_keyword": _q_search_keyword,
-        "search_hybrid": _q_search_hybrid,
-        "fact_search": _q_fact_search,
-        "concept_relations": _q_concept_relations,
-        "lab_causes": _q_lab_causes,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kg_advanced_mentions": _oracle_kg_advanced_mentions(),
+        "risk_scores": _oracle_risk_scores(),
+        "quality_rollup": _oracle_quality_rollup(),
+        "quality_trend": _oracle_quality_trend(),
+        "accuracy_prf": _oracle_accuracy_prf(),
+        "pattern_relations": _oracle_pattern_relations(),
+        "treats_edges": _oracle_treats_edges(),
+        "kg_canonical_triples": _oracle_kg_canonical_triples(),
+        "kg_positive_facts": _oracle_kg_positive_facts(),
+        "pricing_summary": _oracle_pricing_summary(),
+        "customer_order_stats": _oracle_customer_order_stats(),
+        "source_records_csv": _oracle_source_records_csv(),
+        "source_records_fhir": _oracle_source_records_fhir(),
+        "etl_conditions": _oracle_etl_conditions(),
+        "etl_drugs": _oracle_etl_drugs(),
+        "etl_measurements": _oracle_etl_measurements(),
+        "summary_problems": _oracle_summary_problems(),
+        "summary_one_liner": _oracle_summary_one_liner(),
+        "summary_medications": _oracle_summary_medications(),
+        "summary_critical": _oracle_summary_critical(),
+        "summary_rollup": _oracle_summary_rollup(),
+        "cdi_queries": _oracle_cdi_queries(),
+        "cdi_batch": _oracle_cdi_batch(),
+        "search_keyword": _oracle_search_keyword(),
+        "search_hybrid": _oracle_search_hybrid(),
+        "fact_search": _oracle_fact_search(),
+        "concept_relations": _oracle_concept_relations(),
+        "lab_causes": _oracle_lab_causes(),
+        "hl7_conditions": _oracle_hl7_conditions(),
+        "hl7_measurements": _oracle_hl7_measurements(),
         "kg_mentions": _oracle_kg_mentions(),
         "kg_candidates": _oracle_kg_candidates(),
         "kg_facts": _oracle_kg_facts(),
@@ -3711,32 +3829,4 @@ def oracle_sql() -> dict[str, str]:
         "kg_relations": _oracle_kg_relations(),
         "fhir_export": _oracle_fhir_export(),
         "kg_mentions_enhanced": _oracle_kg_mentions_enhanced(),
-        "kg_advanced_mentions": _oracle_kg_advanced_mentions(),
-        "risk_scores": _oracle_risk_scores(),
-        "quality_rollup": _oracle_quality_rollup(),
-        "quality_trend": _oracle_quality_trend(),
-        "accuracy_prf": _oracle_accuracy_prf(),
-        "pattern_relations": _oracle_pattern_relations(),
-        "treats_edges": _oracle_treats_edges(),
-        "kg_canonical_triples": _oracle_kg_canonical_triples(),
-        "kg_positive_facts": _oracle_kg_positive_facts(),
-        "pricing_summary": _oracle_pricing_summary(),
-        "customer_order_stats": _oracle_customer_order_stats(),
-        "source_records_csv": _oracle_source_records_csv(),
-        "source_records_fhir": _oracle_source_records_fhir(),
-        "etl_conditions": _oracle_etl_conditions(),
-        "etl_drugs": _oracle_etl_drugs(),
-        "etl_measurements": _oracle_etl_measurements(),
-        "summary_problems": _oracle_summary_problems(),
-        "summary_one_liner": _oracle_summary_one_liner(),
-        "summary_medications": _oracle_summary_medications(),
-        "summary_critical": _oracle_summary_critical(),
-        "summary_rollup": _oracle_summary_rollup(),
-        "cdi_queries": _oracle_cdi_queries(),
-        "cdi_batch": _oracle_cdi_batch(),
-        "search_keyword": _oracle_search_keyword(),
-        "search_hybrid": _oracle_search_hybrid(),
-        "fact_search": _oracle_fact_search(),
-        "concept_relations": _oracle_concept_relations(),
-        "lab_causes": _oracle_lab_causes(),
     }

@@ -63,8 +63,11 @@ CRITICAL_LAB_RANGES: dict[str, tuple[float, float]] = {
     "inr": (0, 5.0),
 }
 
-_ORD = [F.desc("priority"), F.asc("first_turn_idx"),
-        F.asc("first_start_offset"), F.asc("name")]
+def _ord():
+    # built lazily: F.desc() needs an active SparkContext, and this
+    # module must import cleanly driver-side before any session exists
+    return [F.desc("priority"), F.asc("first_turn_idx"),
+            F.asc("first_start_offset"), F.asc("name")]
 
 
 def priority_dim(spark: SparkSession) -> DataFrame:
@@ -105,7 +108,7 @@ def problem_list(facts: DataFrame, spark: SparkSession) -> DataFrame:
         "conv_id", "name", "_ml", "assertion", "experiencer", "temporality",
         "first_turn_idx", "first_start_offset",
     ).agg(F.coalesce(F.max("prio"), F.lit(0)).alias("priority"))
-    w = Window.partitionBy("conv_id").orderBy(*_ORD)
+    w = Window.partitionBy("conv_id").orderBy(*_ord())
     return agg.select(
         "conv_id", "name", status.alias("status"), "priority",
         "first_turn_idx", "first_start_offset",
