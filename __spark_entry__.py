@@ -1064,6 +1064,14 @@ _ETL_LABS = [  # (loinc, name, concept_id or None)
 _ETL_UNITS = ["%", "mg/dL", "MMHG", "10*3/UL", "bogus"]
 _ETL_UNIT_CONCEPT = [8554, 8840, 8876, None, None]
 
+_ETL_PROCS = [  # (cpt_code, name); last two deliberately unmapped
+    ("99213", "Office outpatient visit"),
+    ("93000", "Electrocardiogram complete"),
+    ("71020", "Chest x-ray 2 views"),
+    ("80053", "Comprehensive metabolic panel"),
+]
+_ETL_PROC_CONCEPTS = {"99213": 2514408, "93000": 2617206}
+
 _N_PERSONS = 97
 
 
@@ -1072,6 +1080,8 @@ def _etl_concepts_df(spark):
     rows += [(sid, sn, f"SCT{sid}", "SNOMED") for _c, _code, sid, sn in _ETL_COND_DIMS]
     rows += [(cid, name, code, "RxNorm") for code, name, cid in _ETL_DRUGS]
     rows += [(cid, name, code, "LOINC") for code, name, cid in _ETL_LABS if cid]
+    rows += [(_ETL_PROC_CONCEPTS[c], n, c, "CPT4")
+             for c, n in _ETL_PROCS if c in _ETL_PROC_CONCEPTS]
     return spark.createDataFrame(
         rows, "concept_id long, concept_name string, concept_code string, vocabulary_id string"
     )
@@ -1081,6 +1091,7 @@ def _etl_relationships_df(spark):
     rows = [(cid, sid, "Maps to") for cid, _code, sid, _sn in _ETL_COND_DIMS]
     rows += [(cid, cid, "Maps to") for _code, _name, cid in _ETL_DRUGS]
     rows += [(cid, cid, "Maps to") for _code, _name, cid in _ETL_LABS if cid]
+    rows += [(cid, cid, "Maps to") for cid in _ETL_PROC_CONCEPTS.values()]
     return spark.createDataFrame(
         rows, "concept_id_1 long, concept_id_2 long, relationship_id string"
     )
@@ -1110,9 +1121,9 @@ def _src_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
     d = F.col("doc_id")
 
-    def pick(values, mod):
+    def pick(values, mod, col="doc_id"):
         arr = F.array([F.lit(v) for v in values])
-        return F.element_at(arr, (d % mod).cast("int") + 1)
+        return F.element_at(arr, (F.col(col) % mod).cast("int") + 1)
 
     month = (d % 12 + 1).cast("int")
     day = (d % 28 + 1).cast("int")
@@ -1194,7 +1205,32 @@ def _src_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         os.path.join(root, "labs_csv")
     )
 
-    # HL7 v2 feed: one ADT message per document (MSH/PID/DG1/OBX)
+    # patients CSV: one row per distinct patient id
+    p = F.col("p")
+    pdf = docs.select((d % _N_PERSONS).alias("p")).distinct()
+    dob = F.when(
+        (p % 2) == 0,
+        F.format_string("%04d-%02d-%02d", (p % 40 + 1950).cast("int"),
+                        (p % 12 + 1).cast("int"), (p % 28 + 1).cast("int")),
+    ).otherwise(
+        F.format_string("%d/%d/%04d", (p % 12 + 1).cast("int"),
+                        (p % 28 + 1).cast("int"), (p % 40 + 1950).cast("int"))
+    )
+    patients = pdf.select(
+        F.concat(F.lit("P"), p).alias("patient_id"),
+        F.concat(F.lit("Giv"), p % 30).alias("first_name"),
+        F.concat(F.lit("Fam"), p % 50).alias("last_name"),
+        dob.alias("dob"),
+        pick(["M", "F", "female", "x", ""], 5, "p").alias("sex"),
+        pick(["White", "black", "2028-9", "martian", ""], 5, "p").alias("race"),
+        pick(["Hispanic", "not hispanic", "U", "weird", ""], 5, "p").alias("ethnicity"),
+        F.when(p % 10 == 0, "Y").otherwise("").alias("deceased"),
+    )
+    patients.coalesce(2).write.mode("overwrite").option("header", True).csv(
+        os.path.join(root, "patients_csv")
+    )
+
+    # HL7 v2 feed: one ADT message per document (MSH/PID/PV1/DG1/PR1/OBX)
     hl7_msg = F.concat_ws(
         "\r",
         F.format_string("MSH|^~\\&|SRC|FAC|||20240101||ADT^A01|M%d|P|2.5", d),
@@ -1202,6 +1238,17 @@ def _src_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
                  F.lit("^^^MRN||"),
                  F.format_string("Fam%d^Giv%d", (d % 50).cast("int"), (d % 30).cast("int")),
                  F.lit("||19600101|"), pick(["M", "F", "O", "U"], 4)),
+        F.concat(F.lit("PV1|1|"), pick(["I", "O", "E", "U"], 4),
+                 # attending at PV1-7, then 12 pipes put the visit id at
+                 # PV1-19 and 25 more put the admit ts at PV1-44
+                 F.lit("|WARD^1^A||||9^Att^Doc||||||||||||"),
+                 F.concat(F.lit("V"), d),
+                 F.lit("|||||||||||||||||||||||||"),
+                 F.format_string("2024%02d%02d080000", month, day)),
+        F.concat(F.lit("PR1|1||"), pick([c for c, _n in _ETL_PROCS], 4),
+                 F.lit("^"), pick([n for _c, n in _ETL_PROCS], 4),
+                 F.lit("^CPT4||"),
+                 F.format_string("2024%02d%02d090000", month, day)),
         F.concat(F.lit("DG1|1|I10|"), pick([c for c, _n in _ETL_COND_CODES], 8),
                  F.lit("^"), pick([n for _c, n in _ETL_COND_CODES], 8),
                  F.lit("^ICD10CM||20240110|"), pick(["F", "A", "W"], 3)),
@@ -1508,6 +1555,121 @@ def _q_hl7_measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_id", "source_system", "patient_source_id", "code",
         "code_system", "display_text", "value_numeric", "value_text",
         "unit", "range_low", "range_high", "interpretation",
+    )
+
+
+def _q_etl_persons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV patients → OMOP Person (person_etl.py:399-445): gender/race/
+    ethnicity concept maps with defaults, birth components, sha2 ids."""
+    from kgnorm import connectors as cn, etl
+
+    root = _src_fixture_dir(spark, sf_dir)
+    src = cn.csv_patients(cn.read_csv(spark, os.path.join(root, "patients_csv")))
+    return etl.persons(src).select(
+        "person_id", "gender_concept_id", "year_of_birth", "month_of_birth",
+        "day_of_birth", "race_concept_id", "ethnicity_concept_id",
+        "person_source_value", "gender_source_value", "race_source_value",
+        "ethnicity_source_value",
+    )
+
+
+def _q_etl_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HL7 PV1 → OMOP Visit_Occurrence (visit_etl.py:241-300), with
+    parsed dates (faithful mode would run-date-default every visit)."""
+    from kgnorm import etl, hl7
+
+    root = _src_fixture_dir(spark, sf_dir)
+    msgs = hl7.read_messages(spark, os.path.join(root, "hl7_feed"))
+    src = hl7.hl7_visits(msgs, faithful_dates=False)
+    out = etl.visit_occurrences(src, _etl_persons_df(spark))
+    return out.select(
+        "visit_source_id", "person_id", "visit_concept_id",
+        F.date_format("visit_start_date", "yyyy-MM-dd").alias("start_date"),
+        F.date_format("visit_end_date", "yyyy-MM-dd").alias("end_date"),
+        "visit_type_concept_id", "visit_source_value",
+    )
+
+
+def _q_etl_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HL7 PR1 → OMOP Procedure_Occurrence (procedure_etl.py transform)."""
+    from kgnorm import etl, hl7
+
+    root = _src_fixture_dir(spark, sf_dir)
+    msgs = hl7.read_messages(spark, os.path.join(root, "hl7_feed"))
+    src = hl7.hl7_procedures(msgs, faithful_dates=False)
+    out = etl.procedure_occurrences(
+        src, _etl_concepts_df(spark), _etl_relationships_df(spark), _etl_persons_df(spark)
+    )
+    return out.select(
+        "procedure_source_id", "person_id", "procedure_concept_id",
+        F.date_format("procedure_date", "yyyy-MM-dd").alias("proc_date"),
+        "procedure_type_concept_id", "quantity",
+        "procedure_source_value", "procedure_source_concept_id",
+    )
+
+
+_OBS_VALUES = ["yes", "no", "current smoker", "never smoker", "positive", "borderline"]
+
+
+def _q_etl_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SourceObservation rows → OMOP Observation (observation_etl.py):
+    categorical VALUE_CONCEPT_MAP lookup, unit concepts, type default."""
+    from kgnorm import etl
+
+    d = F.col("doc_id")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    vals = F.array(*[F.lit(v) for v in _OBS_VALUES])
+    codes = F.array(F.lit("4548-4"), F.lit("ZZZ-OBS"))
+    src = docs.select(
+        F.concat(F.lit("OB"), d).alias("source_id"),
+        F.concat(F.lit("P"), d % _N_PERSONS).alias("patient_source_id"),
+        F.element_at(codes, (d % 2).cast("int") + 1).alias("code"),
+        F.lit("LOINC").alias("code_system"),
+        F.lit("observation").alias("display_text"),
+        F.when(d % 3 == 0, (d % 50).cast("double") / 10.0).alias("value_numeric"),
+        F.element_at(vals, (d % 6).cast("int") + 1).alias("value_text"),
+        F.when(d % 3 == 0, "%").alias("unit"),
+        F.lit(None).cast("timestamp").alias("effective_datetime"),
+    )
+    out = etl.observations(
+        src, _etl_concepts_df(spark), _etl_relationships_df(spark), _etl_persons_df(spark)
+    )
+    return out.select(
+        "observation_source_id", "person_id", "observation_concept_id",
+        "observation_type_concept_id", "value_as_number", "value_as_string",
+        "value_as_concept_id", "unit_concept_id", "observation_source_value",
+        "observation_source_concept_id", "value_source_value",
+    )
+
+
+def _q_etl_deaths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Death rows → OMOP Death (death_etl.py): type concepts, cause-of-
+    death mapping via the shared concept lookup."""
+    from kgnorm import etl
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = F.col("p")
+    src = docs.select((F.col("doc_id") % _N_PERSONS).alias("p")).distinct()         .filter(p % 10 == 0).select(
+            F.concat(F.lit("P"), p).alias("patient_source_id"),
+            F.to_timestamp(
+                F.format_string("2024-%02d-%02d 12:00:00",
+                                (p % 12 + 1).cast("int"), (p % 28 + 1).cast("int"))
+            ).alias("death_datetime"),
+            F.element_at(F.array(F.lit("ehr"), F.lit("autopsy"), F.lit("registry"),
+                                 F.lit("weird")), (p % 4).cast("int") + 1)
+            .alias("death_type"),
+            F.element_at(F.array(F.lit("E11.9"), F.lit("X99")),
+                         (p % 2).cast("int") + 1).alias("code"),
+            F.lit("ICD10CM").alias("code_system"),
+        )
+    out = etl.deaths(
+        src, _etl_concepts_df(spark), _etl_relationships_df(spark), _etl_persons_df(spark)
+    )
+    return out.select(
+        "person_id",
+        F.date_format("death_date", "yyyy-MM-dd").alias("death_date"),
+        "death_type_concept_id", "cause_concept_id",
+        "cause_source_value", "cause_source_concept_id",
     )
 
 
@@ -3445,6 +3607,100 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_concept
 WHERE rank <= 20"""
 
 
+def _oracle_etl_persons() -> str:
+    from kgnorm import etl as etl_mod
+
+    def cyc(vals, mod):
+        return _sql_cycle(vals, mod, "p")
+
+    gender = cyc(["male", "female", "female", "unknown", "unknown"], 5)
+    gender_concept = cyc([8507, 8532, 8532, 8551, 8551], 5)
+    race = cyc(["White", "black", "2028-9", "martian", None], 5)
+    race_concept = cyc([8527, 8516, 8515, 8552, 8552], 5)
+    eth = cyc(["Hispanic", "not hispanic", "U", "weird", None], 5)
+    eth_concept = cyc([38003563, 38003564, 0, 0, 0], 5)
+    return f"""WITH pids AS (SELECT DISTINCT doc_id % {_N_PERSONS} AS p FROM documents)
+SELECT sha256('person|P' || p) AS person_id,
+       CAST({gender_concept} AS BIGINT) AS gender_concept_id,
+       CAST(p % 40 + 1950 AS INT) AS year_of_birth,
+       CAST(p % 12 + 1 AS INT) AS month_of_birth,
+       CAST(p % 28 + 1 AS INT) AS day_of_birth,
+       CAST({race_concept} AS BIGINT) AS race_concept_id,
+       CAST({eth_concept} AS BIGINT) AS ethnicity_concept_id,
+       'P' || p AS person_source_value,
+       {gender} AS gender_source_value,
+       {race} AS race_source_value,
+       {eth} AS ethnicity_source_value
+FROM pids"""
+
+
+def _oracle_etl_visits() -> str:
+    concept = _sql_cycle([9201, 9202, 9203, 9202], 4)
+    vtype = _sql_cycle(["inpatient", "outpatient", "emergency", "unknown"], 4)
+    return f"""SELECT 'V' || doc_id AS visit_source_id,
+       CAST(doc_id % {_N_PERSONS} + 1 AS BIGINT) AS person_id,
+       CAST({concept} AS BIGINT) AS visit_concept_id,
+       printf('2024-%02d-%02d', doc_id % 12 + 1, doc_id % 28 + 1) AS start_date,
+       printf('2024-%02d-%02d', doc_id % 12 + 1, doc_id % 28 + 1) AS end_date,
+       CAST(32817 AS BIGINT) AS visit_type_concept_id,
+       {vtype} AS visit_source_value
+FROM documents"""
+
+
+def _oracle_etl_procedures() -> str:
+    concept = _sql_cycle(
+        [_ETL_PROC_CONCEPTS.get(c, 0) for c, _n in _ETL_PROCS], 4)
+    src_concept = _sql_cycle(
+        [_ETL_PROC_CONCEPTS.get(c) for c, _n in _ETL_PROCS], 4)
+    codes = _sql_cycle([c for c, _n in _ETL_PROCS], 4)
+    return f"""SELECT 'M' || doc_id || '-PR1-0' AS procedure_source_id,
+       CAST(doc_id % {_N_PERSONS} + 1 AS BIGINT) AS person_id,
+       CAST({concept} AS BIGINT) AS procedure_concept_id,
+       printf('2024-%02d-%02d', doc_id % 12 + 1, doc_id % 28 + 1) AS proc_date,
+       CAST(32817 AS BIGINT) AS procedure_type_concept_id,
+       CAST(1 AS INT) AS quantity,
+       'CPT4:' || {codes} AS procedure_source_value,
+       CAST({src_concept} AS BIGINT) AS procedure_source_concept_id
+FROM documents"""
+
+
+def _oracle_etl_observations() -> str:
+    from kgnorm import etl as etl_mod
+
+    vals = _sql_cycle(_OBS_VALUES, 6)
+    val_concepts = _sql_cycle(
+        [etl_mod.VALUE_CONCEPT_MAP.get(v) for v in _OBS_VALUES], 6)
+    codes = _sql_cycle(["4548-4", "ZZZ-OBS"], 2)
+    concept = _sql_cycle([3004410, 0], 2)
+    src_concept = _sql_cycle([3004410, None], 2)
+    return f"""SELECT 'OB' || doc_id AS observation_source_id,
+       CAST(doc_id % {_N_PERSONS} + 1 AS BIGINT) AS person_id,
+       CAST({concept} AS BIGINT) AS observation_concept_id,
+       CAST(32817 AS BIGINT) AS observation_type_concept_id,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 50) / 10.0 END AS DOUBLE)
+         AS value_as_number,
+       {vals} AS value_as_string,
+       CAST({val_concepts} AS BIGINT) AS value_as_concept_id,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 8554 END AS BIGINT) AS unit_concept_id,
+       'LOINC:' || {codes} AS observation_source_value,
+       CAST({src_concept} AS BIGINT) AS observation_source_concept_id,
+       {vals} AS value_source_value
+FROM documents"""
+
+
+def _oracle_etl_deaths() -> str:
+    return f"""WITH p AS (
+  SELECT DISTINCT doc_id % {_N_PERSONS} AS p FROM documents)
+SELECT CAST(p + 1 AS BIGINT) AS person_id,
+       printf('2024-%02d-%02d', p % 12 + 1, p % 28 + 1) AS death_date,
+       CAST(([32817, 32886, 32879, 32817])[(p % 4) + 1] AS BIGINT)
+         AS death_type_concept_id,
+       CAST(CASE WHEN p % 2 = 0 THEN 201826 ELSE 0 END AS BIGINT) AS cause_concept_id,
+       'ICD10CM:' || (['E11.9', 'X99'])[(p % 2) + 1] AS cause_source_value,
+       CAST(CASE WHEN p % 2 = 0 THEN 45500001 END AS BIGINT) AS cause_source_concept_id
+FROM p WHERE p % 10 = 0"""
+
+
 def _oracle_hl7_conditions() -> str:
     codes = _sql_cycle([c for c, _n in _ETL_COND_CODES], 8)
     names = _sql_cycle([n for _c, n in _ETL_COND_CODES], 8)
@@ -3680,6 +3936,11 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "etl_conditions": _q_etl_conditions,
         "etl_drugs": _q_etl_drugs,
         "etl_measurements": _q_etl_measurements,
+        "etl_persons": _q_etl_persons,
+        "etl_visits": _q_etl_visits,
+        "etl_procedures": _q_etl_procedures,
+        "etl_observations": _q_etl_observations,
+        "etl_deaths": _q_etl_deaths,
         "summary_problems": _q_summary_problems,
         "summary_one_liner": _q_summary_one_liner,
         "summary_medications": _q_summary_medications,
@@ -3765,6 +4026,11 @@ def oracle_sql() -> dict[str, str]:
         "etl_conditions": _oracle_etl_conditions(),
         "etl_drugs": _oracle_etl_drugs(),
         "etl_measurements": _oracle_etl_measurements(),
+        "etl_persons": _oracle_etl_persons(),
+        "etl_visits": _oracle_etl_visits(),
+        "etl_procedures": _oracle_etl_procedures(),
+        "etl_observations": _oracle_etl_observations(),
+        "etl_deaths": _oracle_etl_deaths(),
         "summary_problems": _oracle_summary_problems(),
         "summary_one_liner": _oracle_summary_one_liner(),
         "summary_medications": _oracle_summary_medications(),

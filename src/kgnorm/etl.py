@@ -380,3 +380,228 @@ def etl_stats(occurrences: DataFrame, concept_col: str) -> DataFrame:
         F.count("*").alias("created"),
         F.sum((F.col(concept_col) == 0).cast("long")).alias("unmapped_codes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# person / visit / procedure / observation / death ETL
+# (etl/person_etl.py, visit_etl.py, procedure_etl.py, observation_etl.py,
+#  death_etl.py)
+# ---------------------------------------------------------------------------
+
+# person_etl.py:70-160
+GENDER_CONCEPT_MAP = {"male": 8507, "female": 8532, "other": 8551, "unknown": 8551}
+GENDER_SOURCE_MAP = {
+    "m": 8507, "male": 8507, "f": 8532, "female": 8532,
+    "o": 8551, "other": 8551, "u": 8551, "unknown": 8551, "un": 8551,
+    "undifferentiated": 8551, "ambiguous": 8570,
+}
+RACE_CONCEPT_MAP = {
+    "white": 8527, "caucasian": 8527, "european": 8527, "w": 8527, "2106-3": 8527,
+    "black": 8516, "black or african american": 8516, "african american": 8516,
+    "african-american": 8516, "b": 8516, "2054-5": 8516,
+    "asian": 8515, "a": 8515, "2028-9": 8515,
+    "american indian": 8657, "american indian or alaska native": 8657,
+    "alaska native": 8657, "native american": 8657, "1002-5": 8657,
+    "native hawaiian": 8557, "native hawaiian or other pacific islander": 8557,
+    "pacific islander": 8557, "hawaiian": 8557, "2076-8": 8557,
+    "other": 8522, "other race": 8522, "multiracial": 8522, "mixed": 8522,
+    "2131-1": 8522,
+    "unknown": 8552, "u": 8552, "declined": 8552, "refused": 8552,
+    "not reported": 8552,
+}
+ETHNICITY_CONCEPT_MAP = {
+    "hispanic": 38003563, "hispanic or latino": 38003563, "latino": 38003563,
+    "latina": 38003563, "latinx": 38003563, "h": 38003563, "y": 38003563,
+    "2135-2": 38003563,
+    "not hispanic": 38003564, "not hispanic or latino": 38003564,
+    "non-hispanic": 38003564, "n": 38003564, "2186-5": 38003564,
+    "unknown": 0, "u": 0, "declined": 0, "refused": 0,
+}
+DEFAULT_GENDER_CONCEPT_ID = 8551   # person_etl.py:162
+DEFAULT_RACE_CONCEPT_ID = 8552     # :163
+DEFAULT_ETHNICITY_CONCEPT_ID = 0   # :164
+DEFAULT_BIRTH_YEAR = 1900          # :396-397
+
+# visit_etl.py:56-115
+VISIT_CONCEPT_MAP = {
+    "inpatient": 9201, "outpatient": 9202, "emergency": 9203,
+    "observation": 9201, "home": 581476, "telehealth": 581478,
+    "unknown": 9202,
+}
+DEFAULT_VISIT_TYPE_CONCEPT_ID = 32817
+
+# procedure_etl.py:53-67
+PROCEDURE_TYPE_CONCEPT_MAP = {
+    "ehr": 32817, "claim": 32840, "registry": 32879,
+    "primary": 44786631, "secondary": 44786632,
+}
+PROCEDURE_STATUS_INCLUDE = {  # status → include-in-CDM flag
+    "completed": True, "in_progress": True, "not_done": False, "unknown": True,
+}
+DEFAULT_PROCEDURE_TYPE_CONCEPT_ID = 32817
+
+# observation_etl.py:72-104
+VALUE_CONCEPT_MAP = {
+    "yes": 4188539, "no": 4188540, "true": 4188539, "false": 4188540,
+    "current smoker": 4298794, "former smoker": 4310250,
+    "never smoker": 4144272, "non-smoker": 4144272,
+    "current drinker": 4041306, "former drinker": 4041306,
+    "non-drinker": 4144272,
+    "mild": 4116186, "moderate": 4116186, "severe": 4087703,
+    "positive": 9191, "negative": 9189, "detected": 9191, "not detected": 9189,
+}
+DEFAULT_OBSERVATION_TYPE_CONCEPT_ID = 32817
+
+# death_etl.py:49-56
+DEATH_TYPE_CONCEPT_MAP = {
+    "ehr": 32817, "death_certificate": 32885, "autopsy": 32886,
+    "registry": 32879, "social_security": 32885, "ssdi": 32885,
+}
+DEFAULT_DEATH_TYPE_CONCEPT_ID = 32817
+
+
+def persons(patients: DataFrame) -> DataFrame:
+    """SourcePatient rows → OMOP Person (person_etl.py:399-445).
+
+    Deterministic deviation: the reference's ``person_id`` is a DB
+    autoincrement — unreproducible across retried tasks — so here it is
+    the engine-wide id policy (kgnorm/graph.py:_node_id): a sha2 digest
+    of 'person|<source_id>'.
+    """
+    g = F.lower(F.coalesce(F.col("gender"), F.lit("")))
+    race_l = F.lower(F.trim(F.col("race")))
+    bd = F.col("birth_date")
+    return patients.select(
+        F.sha2(F.concat_ws("|", F.lit("person"), F.col("source_id")), 256)
+        .alias("person_id"),
+        F.coalesce(_map_lit(GENDER_CONCEPT_MAP)[g],
+                   F.lit(DEFAULT_GENDER_CONCEPT_ID)).cast("long")
+        .alias("gender_concept_id"),
+        F.coalesce(F.year(bd), F.lit(DEFAULT_BIRTH_YEAR)).alias("year_of_birth"),
+        F.month(bd).alias("month_of_birth"),
+        F.dayofmonth(bd).alias("day_of_birth"),
+        F.coalesce(_map_lit(RACE_CONCEPT_MAP)[race_l],
+                   F.lit(DEFAULT_RACE_CONCEPT_ID)).cast("long")
+        .alias("race_concept_id"),
+        F.coalesce(_map_lit(ETHNICITY_CONCEPT_MAP)[F.lower(F.trim(F.col("ethnicity")))],
+                   F.lit(DEFAULT_ETHNICITY_CONCEPT_ID)).cast("long")
+        .alias("ethnicity_concept_id"),
+        F.substring(F.col("source_id"), 1, 50).alias("person_source_value"),
+        F.col("gender").alias("gender_source_value"),
+        F.substring(F.col("race"), 1, 50).alias("race_source_value"),
+        F.substring(F.col("ethnicity"), 1, 50).alias("ethnicity_source_value"),
+    )
+
+
+def visit_occurrences(visits: DataFrame, persons_dim: DataFrame,
+                      infer_end_date: bool = True) -> DataFrame:
+    """SourceVisit rows → OMOP Visit_Occurrence (visit_etl.py:241-300):
+    enum concept map with outpatient default; missing end date inferred
+    from the start when configured (visit_etl.py:131, 232-239)."""
+    r = _person_id(visits, persons_dim)
+    vt = F.lower(F.coalesce(F.col("visit_type"), F.lit("unknown"))) \
+        if "visit_type" in visits.columns else F.lit("unknown")
+    concept = F.coalesce(_map_lit(VISIT_CONCEPT_MAP)[vt], F.lit(9202))
+    start_date = F.coalesce(F.col("start_datetime").cast("date"), F.current_date())
+    end_expr = F.col("end_datetime").cast("date")
+    end_date = F.coalesce(end_expr, start_date) if infer_end_date else end_expr
+    return r.select(
+        F.col("source_id").alias("visit_source_id"),
+        "person_id",
+        concept.cast("long").alias("visit_concept_id"),
+        start_date.alias("visit_start_date"),
+        F.col("start_datetime").alias("visit_start_datetime"),
+        end_date.alias("visit_end_date"),
+        F.col("end_datetime").alias("visit_end_datetime"),
+        F.lit(DEFAULT_VISIT_TYPE_CONCEPT_ID).cast("long").alias("visit_type_concept_id"),
+        F.substring(vt, 1, 50).alias("visit_source_value"),
+    )
+
+
+def procedure_occurrences(
+    procedures: DataFrame,
+    concepts: DataFrame,
+    relationships: DataFrame,
+    persons_dim: DataFrame,
+    include_not_done: bool = False,
+    default_type_concept_id: int = DEFAULT_PROCEDURE_TYPE_CONCEPT_ID,
+) -> DataFrame:
+    """SourceProcedure rows → OMOP Procedure_Occurrence
+    (procedure_etl.py transform + PROCEDURE_STATUS_MAP gate)."""
+    r = _person_id(_lookup_concepts(procedures, concepts, relationships), persons_dim)
+    if "status" in procedures.columns and not include_not_done:
+        r = r.filter(F.coalesce(F.col("status"), F.lit("unknown")) != "not_done")
+    return r.select(
+        F.col("source_id").alias("procedure_source_id"),
+        "person_id",
+        F.col("_concept_id").cast("long").alias("procedure_concept_id"),
+        F.coalesce(F.col("performed_datetime").cast("date"), F.current_date())
+        .alias("procedure_date"),
+        F.col("performed_datetime").alias("procedure_datetime"),
+        F.lit(default_type_concept_id).cast("long").alias("procedure_type_concept_id"),
+        (F.col("quantity") if "quantity" in procedures.columns else F.lit(1))
+        .cast("int").alias("quantity"),
+        _source_value(F.col("code"), F.col("code_system")).alias("procedure_source_value"),
+        F.col("_source_concept_id").cast("long").alias("procedure_source_concept_id"),
+    )
+
+
+def observations(
+    obs: DataFrame,
+    concepts: DataFrame,
+    relationships: DataFrame,
+    persons_dim: DataFrame,
+    default_type_concept_id: int = DEFAULT_OBSERVATION_TYPE_CONCEPT_ID,
+) -> DataFrame:
+    """SourceObservation rows → OMOP Observation (observation_etl.py
+    transform): categorical value_text → value_as_concept_id via the
+    VALUE_CONCEPT_MAP lookup (lowercased), unit via the shared table."""
+    r = _person_id(_lookup_concepts(obs, concepts, relationships), persons_dim)
+    vt = F.lower(F.trim(F.col("value_text")))
+    return r.select(
+        F.col("source_id").alias("observation_source_id"),
+        "person_id",
+        F.col("_concept_id").cast("long").alias("observation_concept_id"),
+        (F.col("effective_datetime").cast("date")
+         if "effective_datetime" in obs.columns
+         else F.lit(None).cast("date")).alias("observation_date"),
+        F.lit(default_type_concept_id).cast("long").alias("observation_type_concept_id"),
+        (F.col("value_numeric").cast("double")
+         if "value_numeric" in obs.columns
+         else F.lit(None).cast("double")).alias("value_as_number"),
+        F.col("value_text").alias("value_as_string"),
+        _map_lit(VALUE_CONCEPT_MAP)[vt].cast("long").alias("value_as_concept_id"),
+        (_unit_concept(F.col("unit")) if "unit" in obs.columns
+         else F.lit(None)).cast("long").alias("unit_concept_id"),
+        _source_value(F.col("code"), F.col("code_system"))
+        .alias("observation_source_value"),
+        F.col("_source_concept_id").cast("long").alias("observation_source_concept_id"),
+        F.substring(F.col("value_text"), 1, 50).alias("value_source_value"),
+    )
+
+
+def deaths(
+    death_rows: DataFrame,
+    concepts: DataFrame,
+    relationships: DataFrame,
+    persons_dim: DataFrame,
+    default_type_concept_id: int = DEFAULT_DEATH_TYPE_CONCEPT_ID,
+) -> DataFrame:
+    """Source death rows (patient_source_id, death_datetime, death_type,
+    cause code/code_system) → OMOP Death (death_etl.py transform)."""
+    r = _person_id(_lookup_concepts(death_rows, concepts, relationships), persons_dim)
+    dt = F.lower(F.trim(F.col("death_type"))) if "death_type" in death_rows.columns \
+        else F.lit("ehr")
+    return r.select(
+        "person_id",
+        F.col("death_datetime").cast("date").alias("death_date"),
+        F.col("death_datetime").alias("death_datetime"),
+        F.coalesce(_map_lit(DEATH_TYPE_CONCEPT_MAP)[dt],
+                   F.lit(default_type_concept_id)).cast("long")
+        .alias("death_type_concept_id"),
+        F.col("_concept_id").cast("long").alias("cause_concept_id"),
+        F.when(F.col("code").isNotNull(),
+               _source_value(F.col("code"), F.col("code_system")))
+        .alias("cause_source_value"),
+        F.col("_source_concept_id").cast("long").alias("cause_source_concept_id"),
+    )

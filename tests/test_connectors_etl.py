@@ -386,3 +386,87 @@ class TestMeasurementETL:
         out = etl.measurements(src, *etl_dims).collect()[0]
         assert out["operator_concept_id"] == 4172703
         assert out["value_as_number"] == 7.5
+
+
+class TestPersonVisitObservationDeathETL:
+    def test_persons_maps_and_defaults(self, spark):
+        from kgnorm import etl
+
+        src = spark.createDataFrame(
+            [("P1", "Jane", "Doe", "1960-05-01", "female", "2106-3", "Hispanic"),
+             ("P2", "Al", "Poe", None, "unknown", "martian", None)],
+            "source_id string, given_name string, family_name string,"
+            " birth_date string, gender string, race string, ethnicity string",
+        ).withColumn("birth_date", F.to_date("birth_date"))
+        rows = {r["person_source_value"]: r for r in etl.persons(src).collect()}
+        p1 = rows["P1"]
+        assert p1["gender_concept_id"] == 8532
+        assert p1["year_of_birth"] == 1960 and p1["month_of_birth"] == 5
+        assert p1["race_concept_id"] == 8527  # CDC code 2106-3 → white
+        assert p1["ethnicity_concept_id"] == 38003563
+        assert len(p1["person_id"]) == 64  # sha2 hex, engine id policy
+        p2 = rows["P2"]
+        # missing birth date → 1900 default year (person_etl.py:396-397)
+        assert p2["year_of_birth"] == 1900 and p2["month_of_birth"] is None
+        assert p2["gender_concept_id"] == 8551
+        assert p2["race_concept_id"] == 8552   # unmapped → unknown
+        assert p2["ethnicity_concept_id"] == 0
+
+    def test_visits_infer_end_date(self, spark, etl_dims):
+        from kgnorm import etl
+
+        src = spark.createDataFrame(
+            [("V1", "P1", "inpatient", "2024-01-01 08:00:00", None),
+             ("V2", "P2", "telehealth", "2024-02-01 08:00:00", "2024-02-03 10:00:00"),
+             ("V3", "P3", None, None, None)],
+            "source_id string, patient_source_id string, visit_type string,"
+            " start_datetime string, end_datetime string",
+        ).withColumn("start_datetime", F.to_timestamp("start_datetime")) \
+         .withColumn("end_datetime", F.to_timestamp("end_datetime"))
+        rows = {r["visit_source_id"]: r for r in
+                etl.visit_occurrences(src, etl_dims[2]).collect()}
+        assert rows["V1"]["visit_concept_id"] == 9201
+        # missing end → inferred from start (visit_etl.py:131)
+        assert str(rows["V1"]["visit_end_date"]) == "2024-01-01"
+        assert rows["V2"]["visit_concept_id"] == 581478
+        assert str(rows["V2"]["visit_end_date"]) == "2024-02-03"
+        # no type → unknown → outpatient default (VISIT_CONCEPT_MAP)
+        assert rows["V3"]["visit_concept_id"] == 9202
+        # no start → run-date default (visit_etl.py:226-230)
+        assert rows["V3"]["visit_start_date"] is not None
+
+    def test_observations_value_concepts(self, spark, etl_dims):
+        from kgnorm import etl
+
+        src = spark.createDataFrame(
+            [("O1", "P1", "4548-4", "LOINC", "obs", None, "Current Smoker", "%", None),
+             ("O2", "P2", "4548-4", "LOINC", "obs", 3.5, "weird value", None, None)],
+            "source_id string, patient_source_id string, code string,"
+            " code_system string, display_text string, value_numeric double,"
+            " value_text string, unit string, effective_datetime timestamp",
+        )
+        rows = {r["observation_source_id"]: r for r in
+                etl.observations(src, *etl_dims).collect()}
+        # VALUE_CONCEPT_MAP is lowercase-keyed (observation_etl.py:72-96)
+        assert rows["O1"]["value_as_concept_id"] == 4298794
+        assert rows["O1"]["unit_concept_id"] == 8554
+        assert rows["O2"]["value_as_concept_id"] is None
+        assert rows["O2"]["value_as_number"] == 3.5
+
+    def test_deaths(self, spark, etl_dims):
+        from kgnorm import etl
+
+        src = spark.createDataFrame(
+            [("P1", "2024-03-01 10:00:00", "autopsy", "E11.9", "ICD10CM"),
+             ("P2", "2024-04-01 11:00:00", "nonsense", None, None)],
+            "patient_source_id string, death_datetime string, death_type string,"
+            " code string, code_system string",
+        ).withColumn("death_datetime", F.to_timestamp("death_datetime"))
+        rows = {r["person_id"]: r for r in etl.deaths(src, *etl_dims).collect()}
+        d1 = rows[1]
+        assert d1["death_type_concept_id"] == 32886
+        assert d1["cause_concept_id"] == 201826
+        assert d1["cause_source_value"] == "ICD10CM:E11.9"
+        d2 = rows[2]
+        assert d2["death_type_concept_id"] == 32817  # unknown type → default
+        assert d2["cause_concept_id"] == 0 and d2["cause_source_value"] is None
