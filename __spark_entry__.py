@@ -1262,6 +1262,45 @@ def _src_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     docs.select(hl7_msg.alias("value")).coalesce(4).write.mode("overwrite").text(
         os.path.join(root, "hl7_feed")
     )
+
+    # C-CDA: one single-line XML document per documents row
+    cond_code = pick([c for c, _n in _ETL_COND_CODES], 8)
+    cond_name = pick([n for _c, n in _ETL_COND_CODES], 8)
+    lab_code = pick([c for c, _n, _i in _ETL_LABS], 4)
+    lab_name = pick([n for _c, n, _i in _ETL_LABS], 4)
+    status = pick(["active", "completed", "aborted"], 3)
+    xml = F.concat(
+        F.lit('<ClinicalDocument><id root="doc"/>'
+              '<recordTarget><patientRole><id root="mrn" extension="'),
+        F.concat(F.lit("P"), d % _N_PERSONS),
+        F.lit('"/><patient><name><given>G</given><family>F</family></name>'
+              '<administrativeGenderCode code="F"/></patient></patientRole>'
+              '</recordTarget><component><structuredBody>'
+              '<component><section>'
+              '<templateId root="2.16.840.1.113883.10.20.22.2.5.1"/>'
+              '<entry><act><entryRelationship><observation>'
+              '<statusCode code="'), status,
+        F.lit('"/><value code="'), cond_code,
+        F.lit('" codeSystemName="ICD10CM" displayName="'), cond_name,
+        F.lit('"/></observation></entryRelationship></act></entry>'
+              '</section></component>'
+              '<component><section>'
+              '<templateId root="2.16.840.1.113883.10.20.22.2.3.1"/>'
+              '<entry><organizer><effectiveTime value="20240301"/>'
+              '<component><observation>'
+              '<code code="'), lab_code,
+        F.lit('" codeSystemName="LOINC" displayName="'), lab_name,
+        F.lit('"/><value xsi:type="PQ" value="'),
+        F.format_string("%.1f", (d % 100).cast("double") / 10.0),
+        F.lit('" unit="'), pick(_ETL_UNITS, 5),
+        F.lit('"/><interpretationCode code="'), pick(["H", "L", "N"], 3),
+        F.lit('"/></observation></component></organizer></entry>'
+              '</section></component>'
+              '</structuredBody></component></ClinicalDocument>'),
+    )
+    docs.select(xml.alias("value")).coalesce(4).write.mode("overwrite").text(
+        os.path.join(root, "ccda_docs")
+    )
     _SRC_FIX_WRITTEN.add(key)
     return root
 
@@ -1670,6 +1709,34 @@ def _q_etl_deaths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("death_date", "yyyy-MM-dd").alias("death_date"),
         "death_type_concept_id", "cause_concept_id",
         "cause_source_value", "cause_source_concept_id",
+    )
+
+
+def _q_ccda_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-CDA Problems section → SourceCondition via one from_xml decode
+    (ccda_connector.py:473-535; faithful dates → NULL onsets)."""
+    from kgnorm import ccda
+
+    root = _src_fixture_dir(spark, sf_dir)
+    docs = ccda.read_documents(spark, os.path.join(root, "ccda_docs"), per_line=True)
+    return ccda.ccda_conditions(docs).select(
+        "source_id", "source_system", "patient_source_id", "code",
+        "code_system", "display_text", "status",
+        F.date_format("onset_datetime", "yyyy-MM-dd").alias("onset_date"),
+    )
+
+
+def _q_ccda_labs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-CDA Results section → SourceMeasurement
+    (ccda_connector.py:664-750)."""
+    from kgnorm import ccda
+
+    root = _src_fixture_dir(spark, sf_dir)
+    docs = ccda.read_documents(spark, os.path.join(root, "ccda_docs"), per_line=True)
+    return ccda.ccda_lab_results(docs).select(
+        "source_id", "source_system", "patient_source_id", "code",
+        "code_system", "display_text", "value_numeric", "value_text",
+        "unit", "interpretation",
     )
 
 
@@ -3701,6 +3768,39 @@ SELECT CAST(p + 1 AS BIGINT) AS person_id,
 FROM p WHERE p % 10 = 0"""
 
 
+def _oracle_ccda_conditions() -> str:
+    codes = _sql_cycle([c for c, _n in _ETL_COND_CODES], 8)
+    names = _sql_cycle([n for _c, n in _ETL_COND_CODES], 8)
+    status = _sql_cycle(["active", "resolved", "inactive"], 3)
+    return f"""SELECT 'mrn^P' || (doc_id % {_N_PERSONS}) || '_prob_0' AS source_id,
+       'ccda' AS source_system,
+       'mrn^P' || (doc_id % {_N_PERSONS}) AS patient_source_id,
+       {codes} AS code,
+       'ICD10CM' AS code_system,
+       {names} AS display_text,
+       {status} AS status,
+       CAST(NULL AS VARCHAR) AS onset_date
+FROM documents"""
+
+
+def _oracle_ccda_labs() -> str:
+    loinc = _sql_cycle([c for c, _n, _i in _ETL_LABS], 4)
+    names = _sql_cycle([n for _c, n, _i in _ETL_LABS], 4)
+    units = _sql_cycle(_ETL_UNITS, 5)
+    interp = _sql_cycle(["H", "L", "N"], 3)
+    return f"""SELECT 'mrn^P' || (doc_id % {_N_PERSONS}) || '_lab_0_0' AS source_id,
+       'ccda' AS source_system,
+       'mrn^P' || (doc_id % {_N_PERSONS}) AS patient_source_id,
+       {loinc} AS code,
+       'LOINC' AS code_system,
+       {names} AS display_text,
+       CAST((doc_id % 100) / 10.0 AS DOUBLE) AS value_numeric,
+       CAST(NULL AS VARCHAR) AS value_text,
+       {units} AS unit,
+       {interp} AS interpretation
+FROM documents"""
+
+
 def _oracle_hl7_conditions() -> str:
     codes = _sql_cycle([c for c, _n in _ETL_COND_CODES], 8)
     names = _sql_cycle([n for _c, n in _ETL_COND_CODES], 8)
@@ -3955,6 +4055,8 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lab_causes": _q_lab_causes,
         "hl7_conditions": _q_hl7_conditions,
         "hl7_measurements": _q_hl7_measurements,
+        "ccda_conditions": _q_ccda_conditions,
+        "ccda_labs": _q_ccda_labs,
         "kg_mentions": _q_kg_mentions,
         "kg_candidates": _q_kg_candidates,
         "kg_facts": _q_kg_facts,
@@ -4045,6 +4147,8 @@ def oracle_sql() -> dict[str, str]:
         "lab_causes": _oracle_lab_causes(),
         "hl7_conditions": _oracle_hl7_conditions(),
         "hl7_measurements": _oracle_hl7_measurements(),
+        "ccda_conditions": _oracle_ccda_conditions(),
+        "ccda_labs": _oracle_ccda_labs(),
         "kg_mentions": _oracle_kg_mentions(),
         "kg_candidates": _oracle_kg_candidates(),
         "kg_facts": _oracle_kg_facts(),
