@@ -1740,6 +1740,51 @@ def _q_ccda_labs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_db_source_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Database connector mapping layer (database_connector.py:513-541,
+    651-678) over a JDBC-shaped relation: uppercase DB column names
+    resolved case-insensitively, typed DATE columns passed through."""
+    from kgnorm import dbsource
+
+    d = F.col("doc_id")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    codes = F.array(*[F.lit(c) for c, _n in _ETL_COND_CODES])
+    names = F.array(*[F.lit(n) for _c, n in _ETL_COND_CODES])
+    status = F.array(F.lit("Active"), F.lit("RESOLVED"), F.lit("remission"),
+                     F.lit("bogus"))
+    jdbc_shaped = docs.select(
+        F.concat(F.lit("DX"), d).alias("DX_ID"),
+        F.concat(F.lit("P"), d % _N_PERSONS).alias("PAT_ID"),
+        F.element_at(codes, (d % 8).cast("int") + 1).alias("DIAGNOSIS_CODE"),
+        F.element_at(names, (d % 8).cast("int") + 1).alias("DX_NAME"),
+        F.element_at(status, (d % 4).cast("int") + 1).alias("DX_STATUS"),
+        F.make_date(F.lit(2024), (d % 12 + 1).cast("int"), (d % 28 + 1).cast("int"))
+        .alias("DX_DATE"),
+    )
+    out = dbsource.db_conditions(jdbc_shaped)
+    return out.select(
+        "source_id", "source_system", "patient_source_id", "code",
+        "code_system", "display_text", "status",
+        F.date_format("onset_datetime", "yyyy-MM-dd").alias("onset_date"),
+    )
+
+
+def _q_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone sentence segmentation with positions
+    (extraction_pipeline.py:154-173)."""
+    from kgnorm import sentences
+
+    return sentences.sentences_df(_stages(spark, sf_dir)["transcripts"])
+
+
+def _q_summary_sbar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SBAR handoff generation (clinical_summarizer.py:720-754)."""
+    from kgnorm import summarizer
+
+    facts = _stages(spark, sf_dir)["facts"]
+    return summarizer.generate_sbar(facts, spark)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders
 # ---------------------------------------------------------------------------
@@ -3768,6 +3813,121 @@ SELECT CAST(p + 1 AS BIGINT) AS person_id,
 FROM p WHERE p % 10 = 0"""
 
 
+_EXPECTED_SENTENCES = None
+
+
+def _expected_sentences() -> list[tuple]:
+    """Pure-Python segmentation over the 10 templates (the same kernel
+    the Arrow UDF runs)."""
+    global _EXPECTED_SENTENCES
+    if _EXPECTED_SENTENCES is None:
+        from kgnorm import sentences as sent_mod
+
+        rows = []
+        for tmpl, text in enumerate(synth.note_templates()):
+            for i, (st, en, sent) in enumerate(sent_mod.segment_sentences(text)):
+                rows.append((tmpl, i, st, en, sent))
+        _EXPECTED_SENTENCES = rows
+    return _EXPECTED_SENTENCES
+
+
+def _oracle_sentence_spans() -> str:
+    return f"""WITH {_turns_cte()},
+sents(tmpl, sent_idx, start, "end", sentence) AS (
+  VALUES {_values(_expected_sentences())})
+SELECT t.conv_id, t.turn_idx, s.sent_idx,
+       CAST(s.start AS INT) AS start, CAST(s."end" AS INT) AS "end", s.sentence
+FROM turns t JOIN sents s USING (tmpl)"""
+
+
+def _oracle_summary_sbar() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()},
+{_prio_cte()}, {_problems_cte()},
+top3 AS (
+  SELECT conv_id, string_agg(name, ', ' ORDER BY rank) AS problem_str
+  FROM ranked_probs WHERE rank <= 3 GROUP BY conv_id
+),
+medc AS (
+  SELECT conv_id,
+         sum(CASE WHEN assertion <> 'absent' AND temporality <> 'historical'
+                  THEN 1 ELSE 0 END) AS med_count
+  FROM facts WHERE domain = 'drug' GROUP BY conv_id
+),
+situation AS (
+  SELECT f.conv_id,
+         CASE WHEN t.problem_str IS NULL
+              THEN 'Patient ' || f.conv_id || ' with no significant documented conditions'
+              ELSE 'Patient with ' || t.problem_str || ', on ' ||
+                   coalesce(m.med_count, 0) || ' medications' END AS one_liner
+  FROM (SELECT DISTINCT conv_id FROM facts) f
+  LEFT JOIN top3 t USING (conv_id) LEFT JOIN medc m USING (conv_id)
+),
+pmh AS (
+  SELECT conv_id, string_agg(name, ', ' ORDER BY rank) AS background
+  FROM ranked_probs WHERE status IN ('chronic', 'resolved') GROUP BY conv_id
+),
+assessment AS (
+  SELECT conv_id,
+         string_agg('- ' || name || ' (' || status || ')', chr(10) ORDER BY rank)
+           AS assessment
+  FROM ranked_probs WHERE rank <= 5 GROUP BY conv_id
+),
+pend AS (
+  SELECT conv_id, item,
+         row_number() OVER (PARTITION BY conv_id
+           ORDER BY first_turn_idx, first_start_offset, concept_name) AS rk
+  FROM (
+    SELECT conv_id, first_turn_idx, first_start_offset, concept_name,
+           CASE WHEN temporality = 'future' THEN 'Pending: ' || concept_name
+                WHEN contains(lower(concept_name), 'pending')
+                     OR contains(lower(concept_name), 'ordered')
+                THEN concept_name END AS item
+    FROM facts) WHERE item IS NOT NULL
+),
+fup AS (
+  SELECT conv_id, item, row_number() OVER (PARTITION BY conv_id ORDER BY rank) AS rk
+  FROM (
+    SELECT conv_id, rank,
+           CASE WHEN status = 'uncontrolled' THEN 'Follow up on ' || name
+                WHEN status = 'acute' THEN 'Close monitoring for ' || name
+           END AS item
+    FROM ranked_probs) WHERE item IS NOT NULL
+),
+rec AS (
+  SELECT conv_id, string_agg(line, chr(10) ORDER BY grp, rk) AS recommendation
+  FROM (
+    SELECT conv_id, '- ' || item AS line, 0 AS grp, rk FROM pend WHERE rk <= 3
+    UNION ALL
+    SELECT conv_id, '- ' || item AS line, 1 AS grp, rk FROM fup WHERE rk <= 3)
+  GROUP BY conv_id
+)
+SELECT s.conv_id,
+       chr(10) || '**SITUATION**' || chr(10) || s.one_liner ||
+       chr(10) || chr(10) || '**BACKGROUND**' || chr(10) ||
+       coalesce(p.background, 'No significant past medical history') ||
+       chr(10) || chr(10) || '**ASSESSMENT**' || chr(10) ||
+       coalesce(a.assessment, 'Stable') ||
+       chr(10) || chr(10) || '**RECOMMENDATION**' || chr(10) ||
+       coalesce(r.recommendation, 'Continue current plan') || chr(10) AS sbar
+FROM situation s LEFT JOIN pmh p USING (conv_id)
+LEFT JOIN assessment a USING (conv_id) LEFT JOIN rec r USING (conv_id)"""
+
+
+def _oracle_db_source_records() -> str:
+    codes = _sql_cycle([c for c, _n in _ETL_COND_CODES], 8)
+    names = _sql_cycle([n for _c, n in _ETL_COND_CODES], 8)
+    status = _sql_cycle(["active", "resolved", "inactive", "unknown"], 4)
+    return f"""SELECT 'DX' || doc_id AS source_id,
+       'database' AS source_system,
+       'P' || (doc_id % {_N_PERSONS}) AS patient_source_id,
+       {codes} AS code,
+       'ICD10CM' AS code_system,
+       {names} AS display_text,
+       {status} AS status,
+       printf('2024-%02d-%02d', doc_id % 12 + 1, doc_id % 28 + 1) AS onset_date
+FROM documents"""
+
+
 def _oracle_ccda_conditions() -> str:
     codes = _sql_cycle([c for c, _n in _ETL_COND_CODES], 8)
     names = _sql_cycle([n for _c, n in _ETL_COND_CODES], 8)
@@ -4057,6 +4217,9 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hl7_measurements": _q_hl7_measurements,
         "ccda_conditions": _q_ccda_conditions,
         "ccda_labs": _q_ccda_labs,
+        "db_source_records": _q_db_source_records,
+        "sentence_spans": _q_sentence_spans,
+        "summary_sbar": _q_summary_sbar,
         "kg_mentions": _q_kg_mentions,
         "kg_candidates": _q_kg_candidates,
         "kg_facts": _q_kg_facts,
@@ -4149,6 +4312,9 @@ def oracle_sql() -> dict[str, str]:
         "hl7_measurements": _oracle_hl7_measurements(),
         "ccda_conditions": _oracle_ccda_conditions(),
         "ccda_labs": _oracle_ccda_labs(),
+        "db_source_records": _oracle_db_source_records(),
+        "sentence_spans": _oracle_sentence_spans(),
+        "summary_sbar": _oracle_summary_sbar(),
         "kg_mentions": _oracle_kg_mentions(),
         "kg_candidates": _oracle_kg_candidates(),
         "kg_facts": _oracle_kg_facts(),

@@ -250,3 +250,110 @@ def problem_summary(facts: DataFrame, spark: SparkSession) -> DataFrame:
         .na.fill(0, ["total_problems", "active_problems", "chronic_problems",
                      "resolved_problems", "medication_count"])
     )
+
+
+SBAR_TEMPLATE = (  # clinical_summarizer.py:158-171
+    "\n**SITUATION**\n{situation}\n\n**BACKGROUND**\n{background}\n\n"
+    "**ASSESSMENT**\n{assessment}\n\n**RECOMMENDATION**\n{recommendation}\n"
+)
+
+
+def pending_items(facts: DataFrame) -> DataFrame:
+    """Pending clinical items (clinical_summarizer.py:692-702), top 5 per
+    patient in the deterministic fact order."""
+    ml = F.lower(F.col("concept_name"))
+    item = (
+        F.when(F.col("temporality") == "future",
+               F.concat(F.lit("Pending: "), F.col("concept_name")))
+        .when(ml.contains("pending") | ml.contains("ordered"), F.col("concept_name"))
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        "first_turn_idx", "first_start_offset", "concept_name")
+    return (
+        facts.select("conv_id", item.alias("item"),
+                     "first_turn_idx", "first_start_offset", "concept_name")
+        .filter(F.col("item").isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 5)
+        .select("conv_id", "item", "_rk")
+    )
+
+
+def follow_up_items(facts: DataFrame, spark: SparkSession) -> DataFrame:
+    """Follow-up needs (clinical_summarizer.py:704-718): uncontrolled →
+    follow up, acute → close monitoring; top 5 in problem order."""
+    probs = problem_list(facts, spark)
+    item = (
+        F.when(F.col("status") == "uncontrolled",
+               F.concat(F.lit("Follow up on "), F.col("name")))
+        .when(F.col("status") == "acute",
+              F.concat(F.lit("Close monitoring for "), F.col("name")))
+    )
+    return (
+        probs.select("conv_id", item.alias("item"), "rank")
+        .filter(F.col("item").isNotNull())
+        .withColumn("_rk", F.row_number().over(
+            Window.partitionBy("conv_id").orderBy("rank")))
+        .filter(F.col("_rk") <= 5)
+        .select("conv_id", "item", "_rk")
+    )
+
+
+def generate_sbar(facts: DataFrame, spark: SparkSession) -> DataFrame:
+    """SBAR handoff summary per patient (clinical_summarizer.py:720-754).
+
+    situation = the one-liner; background = PMH (chronic + resolved
+    problems in priority order, else the no-PMH default); assessment =
+    top-5 '- name (status)' lines else 'Stable'; recommendation = up to
+    3 pending + 3 follow-up bullets else 'Continue current plan'.
+    """
+    probs = problem_list(facts, spark)
+    situation = one_liner(facts, spark)
+
+    pmh = (
+        probs.filter(F.col("status").isin("chronic", "resolved"))
+        .groupBy("conv_id")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("rank", "name"))),
+                        lambda s: s["name"]), ", ").alias("background"))
+    )
+    assessment = (
+        probs.filter(F.col("rank") <= 5)
+        .groupBy("conv_id")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "name", "status"))),
+                lambda s: F.concat(F.lit("- "), s["name"], F.lit(" ("),
+                                   s["status"], F.lit(")")),
+            ), "\n").alias("assessment"))
+    )
+    rec_rows = (
+        pending_items(facts).filter(F.col("_rk") <= 3)
+        .select("conv_id", F.concat(F.lit("- "), F.col("item")).alias("line"),
+                F.lit(0).alias("grp"), F.col("_rk"))
+        .unionByName(
+            follow_up_items(facts, spark).filter(F.col("_rk") <= 3)
+            .select("conv_id", F.concat(F.lit("- "), F.col("item")).alias("line"),
+                    F.lit(1).alias("grp"), F.col("_rk")))
+    )
+    recommendation = rec_rows.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("grp", "_rk", "line"))),
+                        lambda s: s["line"]), "\n").alias("recommendation"))
+
+    j = (
+        situation.join(pmh, "conv_id", "left")
+        .join(assessment, "conv_id", "left")
+        .join(recommendation, "conv_id", "left")
+    )
+    sbar = F.concat(
+        F.lit("\n**SITUATION**\n"), F.col("one_liner"),
+        F.lit("\n\n**BACKGROUND**\n"),
+        F.coalesce(F.col("background"), F.lit("No significant past medical history")),
+        F.lit("\n\n**ASSESSMENT**\n"),
+        F.coalesce(F.col("assessment"), F.lit("Stable")),
+        F.lit("\n\n**RECOMMENDATION**\n"),
+        F.coalesce(F.col("recommendation"), F.lit("Continue current plan")),
+        F.lit("\n"),
+    )
+    return j.select("conv_id", sbar.alias("sbar"))

@@ -133,3 +133,32 @@ class TestFactSearchAndRelations:
         # same (source, rel, target) across 3 conversations → one row
         assert len(out) == 1
         assert out[0]["rank"] == 1
+
+
+class TestSentences:
+    def test_segment_kernel(self):
+        from kgnorm.sentences import segment_sentences
+
+        text = "One. Two!  Three\n\nFour"
+        out = segment_sentences(text)
+        # spans run THROUGH the terminator + trailing whitespace
+        # (extraction_pipeline.py:160-165); stripped text
+        assert out[0] == (0, 5, "One.")
+        # the boundary regex eats exactly ONE trailing \s — the second
+        # space stays in the next span (and strips away)
+        assert out[1] == (5, 10, "Two!")
+        # \n\n boundary; remainder rule keeps the unterminated tail
+        assert out[-1] == (18, 22, "Four")
+        assert [s for _a, _b, s in out] == ["One.", "Two!", "Three", "Four"]
+        assert segment_sentences("") == []
+        assert segment_sentences("   ") == []
+
+    def test_sentences_df(self, spark):
+        from kgnorm import sentences
+
+        t = spark.createDataFrame(
+            [("C1", 0, "Hello there. Bye.")],
+            "conv_id string, turn_idx int, text string")
+        rows = sentences.sentences_df(t).collect()
+        assert [(r["sent_idx"], r["start"], r["sentence"]) for r in rows] == [
+            (0, 0, "Hello there."), (1, 13, "Bye.")]
