@@ -1785,6 +1785,23 @@ def _q_summary_sbar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarizer.generate_sbar(facts, spark)
 
 
+_QA_QUESTIONS = [
+    "is the table scan fast",          # yes_no
+    "when was the last batch window",  # temporal
+    "what is the customer query order",  # factual
+    "zzz unanswerable nothing",        # factual, zero hits → 0.3 default
+]
+
+
+def _q_qa_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clinical QA over the corpus (semantic_qa.py:437-617): hybrid
+    retrieval + question-type classification + per-type answer
+    assembly."""
+    from kgnorm import qa
+
+    return qa.answer_questions(_docs(spark, sf_dir), spark, _QA_QUESTIONS)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders
 # ---------------------------------------------------------------------------
@@ -3564,8 +3581,8 @@ FROM cranked q GROUP BY 1"""
 _TOKSPLIT_SQL = "[^0-9A-Za-z_]+"
 
 
-def _search_ctes() -> str:
-    qvals = ",\n    ".join(f"({_lit(q)})" for q in _SEARCH_QUERIES)
+def _search_ctes(queries: list | None = None) -> str:
+    qvals = ",\n    ".join(f"({_lit(q)})" for q in (queries or _SEARCH_QUERIES))
     return f"""sq(query) AS (VALUES {qvals}),
 qt AS (
   SELECT query, unnest(list_distinct(list_filter(
@@ -3614,6 +3631,99 @@ sem_scored AS (
         FROM dvec d JOIN qvec v USING (token) GROUP BY 1, 2) x
   JOIN qnorm qn USING (query) JOIN dnorm dn USING (doc_id)
   WHERE qn.qn > 0 AND dn.dn > 0 AND round(x.dot / (qn.qn * dn.dn), 6) > 0)"""
+
+
+def _oracle_qa_answers() -> str:
+    from kgnorm import qa as qa_mod
+
+    qrows = ",\n    ".join(
+        f"({_lit(q)}, {_lit(qa_mod.classify_question(q))},"
+        f" {_lit('; '.join(qa_mod.FOLLOW_UPS.get(qa_mod.classify_question(q), qa_mod.DEFAULT_FOLLOW_UPS)[:3]))})"
+        for q in _QA_QUESTIONS
+    )
+    aff = " + ".join(f"(CASE WHEN contains(lower(sentence), {_lit(t)}) THEN 1 ELSE 0 END)"
+                     for t in qa_mod.AFFIRMATIVE)
+    neg = " + ".join(f"(CASE WHEN contains(lower(sentence), {_lit(t)}) THEN 1 ELSE 0 END)"
+                     for t in qa_mod.NEGATIVE)
+    no_ev = {
+        "yes_no": "I couldn't find enough information to answer definitively.",
+        "list": "No relevant items found.",
+        "temporal": "No temporal information found.",
+        "factual": "I couldn't find specific information to answer this question.",
+    }
+    noev_case = " ".join(f"WHEN {_lit(k)} THEN {_lit(v)}" for k, v in no_ev.items())
+    # none of the fixed questions contains a CLINICAL_TERMS entry, so
+    # the reference's term-bridge clause (:512-515) is identically false
+    # here and relevance is pure token overlap
+    return f"""WITH {_search_ctes(_QA_QUESTIONS)},
+qmeta(query, qtype, follow_ups) AS (VALUES {qrows}),
+hits AS (
+  SELECT query, doc_id, score,
+         row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) AS rank
+  FROM (SELECT coalesce(k.query, s.query) AS query,
+               coalesce(k.doc_id, s.doc_id) AS doc_id,
+               round(CASE WHEN k.score IS NOT NULL AND s.score IS NOT NULL
+                          THEN (k.score + s.score) / 2.0
+                          ELSE coalesce(k.score, s.score) END, 6) AS score
+        FROM kw_scored k FULL JOIN sem_scored s
+          ON k.query = s.query AND k.doc_id = s.doc_id)
+  WHERE score >= 0.1),
+ctx AS (
+  SELECT h.query,
+         string_agg(substring(d.text, 1, 500), chr(10) || chr(10) ORDER BY h.rank)
+           AS context,
+         count(*) AS n_sources
+  FROM hits h JOIN documents d USING (doc_id)
+  WHERE h.rank <= 5 GROUP BY 1),
+full_q AS (
+  SELECT m.query, m.qtype, m.follow_ups,
+         coalesce(c.context, '') AS context,
+         CAST(coalesce(c.n_sources, 0) AS INT) AS n_sources
+  FROM qmeta m LEFT JOIN ctx c USING (query)),
+qtok AS (
+  SELECT query,
+         list_distinct(list_filter(
+           string_split_regex(lower(query), '{_TOKSPLIT_SQL}'),
+           t -> len(t) > 0)) AS toks
+  FROM qmeta),
+sents AS (
+  SELECT query, u.sentence, u.ord FROM (
+    SELECT f.query,
+           unnest(list_transform(string_split_regex(f.context, '[.!?]'),
+                                 (x, i) -> {{'sentence': x, 'ord': i}})) AS u
+    FROM full_q f)),
+rel AS (
+  SELECT s.query, trim(s.sentence) AS sentence, s.ord
+  FROM sents s JOIN qtok q USING (query)
+  WHERE len(list_intersect(
+          list_distinct(list_filter(
+            string_split_regex(lower(s.sentence), '{_TOKSPLIT_SQL}'),
+            t -> len(t) > 0)), q.toks)) > 0),
+agg AS (
+  SELECT query, count(*) AS n_rel,
+         arg_min(sentence, ord) AS first_rel,
+         sum({aff}) AS aff, sum({neg}) AS neg
+  FROM rel GROUP BY 1)
+SELECT f.query AS question, f.n_sources, f.qtype AS question_type,
+       CASE WHEN a.n_rel IS NULL THEN CASE f.qtype {noev_case} END
+            WHEN f.qtype = 'yes_no' THEN
+              CASE WHEN a.aff > a.neg
+                   THEN 'Yes, based on the available information. ' || a.first_rel
+                   WHEN a.neg > a.aff
+                   THEN 'No, based on the available information. ' || a.first_rel
+                   ELSE 'The information is inconclusive. Relevant context: ' || a.first_rel
+              END
+            WHEN f.qtype = 'temporal'
+            THEN 'Temporal context from records: ' || a.first_rel
+            ELSE 'Based on the clinical records: ' || a.first_rel
+       END AS answer,
+       CAST(CASE WHEN a.n_rel IS NULL THEN 0.3
+                 ELSE round(least(a.n_rel / 5.0, 1.0), 6) END AS DOUBLE) AS confidence,
+       -- DuckDB least() skips NULLs, so guard explicitly
+       CAST(CASE WHEN a.n_rel IS NULL THEN 0 ELSE least(a.n_rel, 5) END AS INT)
+         AS n_evidence,
+       f.follow_ups
+FROM full_q f LEFT JOIN agg a USING (query)"""
 
 
 def _oracle_search_keyword() -> str:
@@ -4212,6 +4322,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "search_hybrid": _q_search_hybrid,
         "fact_search": _q_fact_search,
         "concept_relations": _q_concept_relations,
+        "qa_answers": _q_qa_answers,
         "lab_causes": _q_lab_causes,
         "hl7_conditions": _q_hl7_conditions,
         "hl7_measurements": _q_hl7_measurements,
@@ -4307,6 +4418,7 @@ def oracle_sql() -> dict[str, str]:
         "search_hybrid": _oracle_search_hybrid(),
         "fact_search": _oracle_fact_search(),
         "concept_relations": _oracle_concept_relations(),
+        "qa_answers": _oracle_qa_answers(),
         "lab_causes": _oracle_lab_causes(),
         "hl7_conditions": _oracle_hl7_conditions(),
         "hl7_measurements": _oracle_hl7_measurements(),
