@@ -1802,6 +1802,26 @@ def _q_qa_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qa.answer_questions(_docs(spark, sf_dir), spark, _QA_QUESTIONS)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive-closure clusters (salted hash-min CC,
+    the dedup-pipeline tail over minhash_lsh_pairs)."""
+    pairs = textops.minhash_lsh_pairs(_docs(spark, sf_dir))
+    return textops.dup_clusters(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated corpus materialization: one representative doc per
+    near-dup cluster, everything else passed through."""
+    docs = _docs(spark, sf_dir)
+    pairs = textops.minhash_lsh_pairs(docs)
+    kept = textops.dedup_keep_canonical(docs.select("doc_id", "n_chars"),
+                                        textops.dup_clusters(pairs))
+    return kept.select("doc_id", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders
 # ---------------------------------------------------------------------------
@@ -3633,6 +3653,45 @@ sem_scored AS (
   WHERE qn.qn > 0 AND dn.dn > 0 AND round(x.dot / (qn.qn * dn.dn), 6) > 0)"""
 
 
+def _dedup_cluster_ctes() -> str:
+    bands = []
+    for b in range(4):
+        bands.append(f"SELECT doc_id, {b} AS band_idx, md5(sig_{2*b} || '|' || sig_{2*b+1}) AS bucket FROM sigs")
+    banded = "\n  UNION ALL\n  ".join(bands)
+    aggs = ", ".join(f"min(md5('{i}|' || shingle)) AS sig_{i}" for i in range(8))
+    return f"""{_TOKS_CTE}, {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id),
+banded AS (
+  {banded}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band_idx, bucket)
+  WHERE a.doc_id < b.doc_id),
+dedg AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(v, w) AS (
+  SELECT src, dst FROM dedg
+  UNION
+  SELECT r.v, e.dst FROM reach r JOIN dedg e ON r.w = e.src),
+clusters AS (
+  SELECT v AS doc_id, least(v, min(w)) AS cluster_id FROM reach GROUP BY v)"""
+
+
+def _oracle_dedup_clusters() -> str:
+    return f"""WITH RECURSIVE {_dedup_cluster_ctes()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
+FROM clusters"""
+
+
+def _oracle_dedup_canonical() -> str:
+    return f"""WITH RECURSIVE {_dedup_cluster_ctes()}
+SELECT d.doc_id, d.n_chars
+FROM documents d LEFT JOIN clusters c USING (doc_id)
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id"""
+
+
 def _oracle_qa_answers() -> str:
     from kgnorm import qa as qa_mod
 
@@ -4323,6 +4382,8 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "fact_search": _q_fact_search,
         "concept_relations": _q_concept_relations,
         "qa_answers": _q_qa_answers,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_canonical": _q_dedup_canonical,
         "lab_causes": _q_lab_causes,
         "hl7_conditions": _q_hl7_conditions,
         "hl7_measurements": _q_hl7_measurements,
@@ -4419,6 +4480,8 @@ def oracle_sql() -> dict[str, str]:
         "fact_search": _oracle_fact_search(),
         "concept_relations": _oracle_concept_relations(),
         "qa_answers": _oracle_qa_answers(),
+        "dedup_clusters": _oracle_dedup_clusters(),
+        "dedup_canonical": _oracle_dedup_canonical(),
         "lab_causes": _oracle_lab_causes(),
         "hl7_conditions": _oracle_hl7_conditions(),
         "hl7_measurements": _oracle_hl7_measurements(),

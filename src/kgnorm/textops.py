@@ -279,3 +279,45 @@ def fingerprints(documents: DataFrame, shingle_n: int = 3) -> DataFrame:
             F.transform(word_shingles(F.col("text"), shingle_n), lambda s: F.md5(s))
         ).alias("minshingle_fp"),
     )
+
+
+def dup_clusters(pairs: DataFrame) -> DataFrame:
+    """Near-duplicate CLUSTERS from candidate pairs: connected
+    components over the (doc_a, doc_b) edge list.
+
+    This is the tail of the 100-TB dedup pipeline the pair generators
+    (minhash_lsh_pairs / ngram_jaccard_pairs / embedding_dup_pairs)
+    feed: transitive closure groups A~B~C into one cluster even when
+    (A, C) never collided in any band.  Reuses the salted hash-min
+    label propagation the ontology canonicalization runs
+    (kgnorm/canon.py:45) — same convergence and skew properties.
+
+    Output: (doc_id, cluster_id) for every doc that appears in a pair;
+    cluster_id = min doc id of the component.
+    """
+    from kgnorm.canon import connected_components
+
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(pairs.select(
+        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    return connected_components(edges).select(
+        F.col("concept_id").alias("doc_id"),
+        F.col("component_id").alias("cluster_id"),
+    )
+
+
+def dedup_keep_canonical(documents: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Keep one representative per near-dup cluster (min doc_id),
+    passing non-clustered docs through untouched — the materialization
+    step that turns pair detection into an actual deduplicated corpus.
+
+    One broadcast-or-shuffle left join against the (small) cluster
+    table + a filter; no window over the corpus.
+    """
+    c = clusters.withColumn("_keep", F.col("doc_id") == F.col("cluster_id"))
+    return (
+        documents.join(c, "doc_id", "left")
+        .filter(F.col("_keep").isNull() | F.col("_keep"))
+        .drop("_keep")
+    )

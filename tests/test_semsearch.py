@@ -162,3 +162,21 @@ class TestSentences:
         rows = sentences.sentences_df(t).collect()
         assert [(r["sent_idx"], r["start"], r["sentence"]) for r in rows] == [
             (0, 0, "Hello there."), (1, 13, "Bye.")]
+
+
+class TestDedupClusters:
+    def test_transitive_closure_and_keep(self, spark):
+        from kgnorm import textops
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long")
+        clusters = {r["doc_id"]: r["cluster_id"] for r in
+                    textops.dup_clusters(pairs).collect()}
+        # A~B~C collapses transitively even though (1,3) never paired
+        assert clusters == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in (1, 2, 3, 5, 7, 9)], "doc_id long, text string")
+        kept = sorted(r["doc_id"] for r in
+                      textops.dedup_keep_canonical(docs, textops.dup_clusters(pairs)).collect())
+        # min of each cluster survives; unclustered 5 passes through
+        assert kept == [1, 5, 7]
