@@ -1822,6 +1822,22 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "n_chars")
 
 
+def _q_report_clinical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown clinical-summary report per patient
+    (report_generator.py:551-618, :422-467)."""
+    from kgnorm import reports
+
+    return reports.clinical_summary_report(_stages(spark, sf_dir)["facts"], spark)
+
+
+def _q_report_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown NLP extraction report per conversation
+    (report_generator.py:620-675)."""
+    from kgnorm import reports
+
+    return reports.extraction_report(_stages(spark, sf_dir)["mentions"])
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders
 # ---------------------------------------------------------------------------
@@ -3692,6 +3708,111 @@ FROM documents d LEFT JOIN clusters c USING (doc_id)
 WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id"""
 
 
+def _oracle_report_clinical() -> str:
+    from kgnorm.summarizer import CRITICAL_TERMS
+    crit_cond = " OR ".join(f"lower(concept_name) LIKE '%{t}%'" for t in CRITICAL_TERMS)
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()},
+{_prio_cte()}, {_problems_cte()},
+top3 AS (
+  SELECT conv_id, string_agg(name, ', ' ORDER BY rank) AS problem_str
+  FROM ranked_probs WHERE rank <= 3 GROUP BY conv_id),
+medc AS (
+  SELECT conv_id,
+         sum(CASE WHEN assertion <> 'absent' AND temporality <> 'historical'
+                  THEN 1 ELSE 0 END) AS med_count
+  FROM facts WHERE domain = 'drug' GROUP BY conv_id),
+situation AS (
+  SELECT f.conv_id,
+         CASE WHEN t.problem_str IS NULL
+              THEN 'Patient ' || f.conv_id || ' with no significant documented conditions'
+              ELSE 'Patient with ' || t.problem_str || ', on ' ||
+                   coalesce(m.med_count, 0) || ' medications' END AS one_liner
+  FROM (SELECT DISTINCT conv_id FROM facts) f
+  LEFT JOIN top3 t USING (conv_id) LEFT JOIN medc m USING (conv_id)),
+ptbl AS (
+  SELECT conv_id, count(*) AS n_problems,
+         string_agg('| ' || name || ' | ' || status || ' |  |', chr(10) ORDER BY rank)
+           AS prob_rows
+  FROM ranked_probs GROUP BY conv_id),
+mtbl AS (
+  SELECT conv_id, count(*) AS n_meds,
+         string_agg('- ' || concept_name, chr(10)
+                    ORDER BY first_turn_idx, first_start_offset, concept_name)
+           AS med_rows
+  FROM facts WHERE domain = 'drug' GROUP BY conv_id),
+crit AS (
+  SELECT conv_id, string_agg(line, chr(10) ORDER BY line) AS crit_rows
+  FROM (
+    SELECT conv_id, '- Critical condition: ' || concept_name AS line
+    FROM (SELECT conv_id, concept_name,
+                 row_number() OVER (PARTITION BY conv_id
+                   ORDER BY first_turn_idx, first_start_offset, concept_name) AS rk
+          FROM facts WHERE domain = 'condition' AND ({crit_cond}))
+    WHERE rk <= 5)
+  GROUP BY conv_id)
+SELECT s.conv_id,
+  '# Clinical Summary Report' || chr(10) || chr(10) ||
+  '**Patient ID:** ' || s.conv_id || '  ' || chr(10) || chr(10) ||
+  '## Summary' || chr(10) || chr(10) || s.one_liner || chr(10) ||
+  coalesce(chr(10) || '## Problem List' || chr(10) || chr(10) ||
+           p.n_problems || ' active problems identified' || chr(10) || chr(10) ||
+           '| Problem | Status | ICD-10 |' || chr(10) || '| --- | --- | --- |' || chr(10) ||
+           p.prob_rows || chr(10), '') ||
+  coalesce(chr(10) || '## Medications' || chr(10) || chr(10) ||
+           m.n_meds || ' medications' || chr(10) || chr(10) ||
+           m.med_rows || chr(10), '') ||
+  coalesce(chr(10) || '## Critical Findings' || chr(10) || chr(10) ||
+           c.crit_rows || chr(10), '') AS report_md
+FROM situation s LEFT JOIN ptbl p USING (conv_id)
+LEFT JOIN mtbl m USING (conv_id) LEFT JOIN crit c USING (conv_id)"""
+
+
+def _oracle_report_extraction() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()},
+m AS (
+  SELECT t.conv_id, t.turn_idx, e.start_offset, e.mention_text,
+         e.domain_hint, e.omop_concept_id, cast(e.confidence AS double) AS confidence
+  FROM turns t JOIN exp e USING (tmpl)),
+stats AS (
+  SELECT conv_id, count(*) AS total,
+         sum(CASE WHEN lower(coalesce(domain_hint, '')) = 'condition' THEN 1 ELSE 0 END) AS n_cond,
+         sum(CASE WHEN lower(coalesce(domain_hint, '')) = 'drug' THEN 1 ELSE 0 END) AS n_drug,
+         sum(CASE WHEN lower(coalesce(domain_hint, '')) = 'measurement' THEN 1 ELSE 0 END) AS n_meas,
+         sum(CASE WHEN lower(coalesce(domain_hint, '')) = 'procedure' THEN 1 ELSE 0 END) AS n_proc,
+         printf('%.2f%%', avg(confidence) * 100) AS avg_conf
+  FROM m GROUP BY conv_id),
+top AS (
+  SELECT conv_id,
+         string_agg('| ' || substring(mention_text, 1, 50) || ' | ' ||
+                    coalesce(domain_hint, '') || ' | ' ||
+                    coalesce(cast(omop_concept_id AS varchar), '') || ' | ' ||
+                    printf('%.2f%%', confidence * 100) || ' |', chr(10)
+                    ORDER BY turn_idx, start_offset, substring(mention_text, 1, 50),
+                             coalesce(domain_hint, ''),
+                             coalesce(cast(omop_concept_id AS varchar), ''))
+           AS mention_rows
+  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id
+          ORDER BY turn_idx, start_offset, substring(mention_text, 1, 50),
+                   coalesce(domain_hint, ''),
+                   coalesce(cast(omop_concept_id AS varchar), '')) AS rk FROM m)
+  WHERE rk <= 20 GROUP BY conv_id)
+SELECT s.conv_id,
+  '# NLP Extraction Report' || chr(10) || chr(10) ||
+  '## Extraction Summary' || chr(10) || chr(10) ||
+  '| Metric | Value |' || chr(10) || '| --- | --- |' || chr(10) ||
+  '| Total Mentions | ' || s.total || ' |' || chr(10) ||
+  '| Conditions | ' || s.n_cond || ' |' || chr(10) ||
+  '| Medications | ' || s.n_drug || ' |' || chr(10) ||
+  '| Measurements | ' || s.n_meas || ' |' || chr(10) ||
+  '| Procedures | ' || s.n_proc || ' |' || chr(10) ||
+  '| Avg Confidence | ' || s.avg_conf || ' |' || chr(10) || chr(10) ||
+  '## Extracted Mentions' || chr(10) || chr(10) ||
+  '| Text | Type | OMOP Concept | Confidence |' || chr(10) ||
+  '| --- | --- | --- | --- |' || chr(10) ||
+  coalesce(t.mention_rows, '') || chr(10) AS report_md
+FROM stats s LEFT JOIN top t USING (conv_id)"""
+
+
 def _oracle_qa_answers() -> str:
     from kgnorm import qa as qa_mod
 
@@ -4384,6 +4505,8 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "qa_answers": _q_qa_answers,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_canonical": _q_dedup_canonical,
+        "report_clinical": _q_report_clinical,
+        "report_extraction": _q_report_extraction,
         "lab_causes": _q_lab_causes,
         "hl7_conditions": _q_hl7_conditions,
         "hl7_measurements": _q_hl7_measurements,
@@ -4482,6 +4605,8 @@ def oracle_sql() -> dict[str, str]:
         "qa_answers": _oracle_qa_answers(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "dedup_canonical": _oracle_dedup_canonical(),
+        "report_clinical": _oracle_report_clinical(),
+        "report_extraction": _oracle_report_extraction(),
         "lab_causes": _oracle_lab_causes(),
         "hl7_conditions": _oracle_hl7_conditions(),
         "hl7_measurements": _oracle_hl7_measurements(),
