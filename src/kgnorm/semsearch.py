@@ -88,8 +88,14 @@ def keyword_search(
     max_results: int = MAX_RESULTS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ranked: bool = True,
 ) -> DataFrame:
-    """TF-IDF keyword search (semantic_qa.py:319-356)."""
+    """TF-IDF keyword search (semantic_qa.py:319-356).
+
+    ``ranked=False`` skips the per-query rank window entirely (for
+    callers like hybrid_search that re-rank after merging — an uncapped
+    rank over every scoring doc would funnel each query's candidates
+    through one task for nothing)."""
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.lower(F.col(text_col)).alias("_cl"),
@@ -119,6 +125,8 @@ def keyword_search(
         .agg(F.round(F.least(F.sum("_part"), F.lit(1.0)), 6).alias("score"))
         .filter(F.col("score") >= min_score)
     )
+    if not ranked:
+        return scored
     w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -134,6 +142,7 @@ def semantic_search(
     max_results: int = MAX_RESULTS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ranked: bool = True,
 ) -> DataFrame:
     """TF-IDF-vector cosine search (semantic_qa.py:357-389): both sides
     are tf·idf-weighted token vectors; cosine reduces to the sum over
@@ -183,6 +192,8 @@ def semantic_search(
         .filter(F.col("score") > 0)
         .filter(F.col("score") >= min_score)
     )
+    if not ranked:
+        return scored
     w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -203,9 +214,11 @@ def hybrid_search(
     semantic scores when both found the doc, passthrough otherwise.
     The reference filters/caps AFTER merging (:299-303), so both legs
     run uncapped here (min_score 0, max_results unbounded) first."""
-    kw = keyword_search(docs, spark, queries, 0.0, 1 << 30, id_col, text_col) \
+    kw = keyword_search(docs, spark, queries, 0.0, 1 << 30, id_col, text_col,
+                        ranked=False) \
         .select("query", "doc_id", F.col("score").alias("ks"))
-    sem = semantic_search(docs, spark, queries, -1.0, 1 << 30, id_col, text_col) \
+    sem = semantic_search(docs, spark, queries, -1.0, 1 << 30, id_col, text_col,
+                          ranked=False) \
         .select("query", "doc_id", F.col("score").alias("ss"))
     merged = kw.join(sem, ["query", "doc_id"], "full").select(
         "query", "doc_id",
