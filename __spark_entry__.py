@@ -1301,6 +1301,29 @@ def _src_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     docs.select(xml.alias("value")).coalesce(4).write.mode("overwrite").text(
         os.path.join(root, "ccda_docs")
     )
+
+    # Athena CONCEPT.csv (tab-delimited) with filter-exercising vocab/
+    # domain mix: rows cycle through kept and dropped combinations
+    vocab = pick(["SNOMED", "RxNorm", "LOINC", "ICD10CM", "CPT4"], 5)
+    domain = pick(["Condition", "Drug", "Measurement", "Metadata"], 4)
+    athena = docs.select(
+        F.concat_ws(
+            "\t",
+            (d + 1000000).cast("string"),
+            F.concat(F.lit("Concept "), d),
+            F.concat(F.lit("CODE"), d),
+            vocab, domain,
+            F.lit("Clinical Finding"),
+            F.when(d % 2 == 0, "S").otherwise(""),
+        ).alias("value")
+    )
+    header = spark.createDataFrame(
+        [("concept_id\tconcept_name\tconcept_code\tvocabulary_id\t"
+          "domain_id\tconcept_class_id\tstandard_concept",)], ["value"])
+    # header must sort first within the directory: single part via union
+    header.unionByName(athena).coalesce(1).write.mode("overwrite").text(
+        os.path.join(root, "athena_concept_csv")
+    )
     _SRC_FIX_WRITTEN.add(key)
     return root
 
@@ -1836,6 +1859,18 @@ def _q_report_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgnorm import reports
 
     return reports.extraction_report(_stages(spark, sf_dir)["mentions"])
+
+
+def _q_athena_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Athena CONCEPT.csv vocabulary scan with pushed-down vocab/domain
+    filters (load_omop_vocabulary.py:37-120)."""
+    root = _src_fixture_dir(spark, sf_dir)
+    out = ontology.load_athena_concepts(
+        spark, os.path.join(root, "athena_concept_csv"))
+    return out.select(
+        "concept_id", "concept_name", "concept_code", "vocabulary_id",
+        "domain_id", "concept_class_id", "standard_concept",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3708,6 +3743,24 @@ FROM documents d LEFT JOIN clusters c USING (doc_id)
 WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id"""
 
 
+def _oracle_athena_concepts() -> str:
+    vocab = _sql_cycle(["SNOMED", "RxNorm", "LOINC", "ICD10CM", "CPT4"], 5)
+    domain = _sql_cycle(["Condition", "Drug", "Measurement", "Metadata"], 4)
+    return f"""WITH rows_all AS (
+  SELECT doc_id + 1000000 AS concept_id,
+         'Concept ' || doc_id AS concept_name,
+         'CODE' || doc_id AS concept_code,
+         {vocab} AS vocabulary_id,
+         {domain} AS domain_id,
+         'Clinical Finding' AS concept_class_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'S' END AS standard_concept
+  FROM documents)
+SELECT * FROM rows_all
+WHERE vocabulary_id IN ('SNOMED', 'RxNorm', 'LOINC')
+  AND domain_id IN ('Condition', 'Drug', 'Measurement', 'Procedure',
+                    'Observation', 'Device')"""
+
+
 def _oracle_report_clinical() -> str:
     from kgnorm.summarizer import CRITICAL_TERMS
     crit_cond = " OR ".join(f"lower(concept_name) LIKE '%{t}%'" for t in CRITICAL_TERMS)
@@ -4507,6 +4560,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_canonical": _q_dedup_canonical,
         "report_clinical": _q_report_clinical,
         "report_extraction": _q_report_extraction,
+        "athena_concepts": _q_athena_concepts,
         "lab_causes": _q_lab_causes,
         "hl7_conditions": _q_hl7_conditions,
         "hl7_measurements": _q_hl7_measurements,
@@ -4607,6 +4661,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical": _oracle_dedup_canonical(),
         "report_clinical": _oracle_report_clinical(),
         "report_extraction": _oracle_report_extraction(),
+        "athena_concepts": _oracle_athena_concepts(),
         "lab_causes": _oracle_lab_causes(),
         "hl7_conditions": _oracle_hl7_conditions(),
         "hl7_measurements": _oracle_hl7_measurements(),
