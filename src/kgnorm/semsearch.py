@@ -71,6 +71,16 @@ def idf_table(tokens: DataFrame, n_docs: int) -> DataFrame:
     )
 
 
+def corpus_index(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """(token table, idf table, n_docs) — computed once and shared by
+    both hybrid legs (each leg re-deriving the corpus statistics would
+    scan and shuffle the 100-TB token table twice)."""
+    toks = doc_tokens(docs, id_col, text_col)
+    n_docs = docs.count()
+    return toks, idf_table(toks, n_docs), n_docs
+
+
 def _query_tokens(spark: SparkSession, queries: list[str]) -> DataFrame:
     """Distinct (query, token) rows — set semantics like the reference's
     ``set(tokenize(query))`` (:320)."""
@@ -89,6 +99,7 @@ def keyword_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     ranked: bool = True,
+    index=None,
 ) -> DataFrame:
     """TF-IDF keyword search (semantic_qa.py:319-356).
 
@@ -102,9 +113,7 @@ def keyword_search(
         F.size(F.filter(F.split(F.col(text_col), "\\s+"),
                         lambda t: F.length(t) > 0)).alias("_nsplit"),
     )
-    toks = doc_tokens(docs, id_col, text_col)
-    n_docs = docs.count()
-    idf = idf_table(toks, n_docs)
+    toks, idf, _n = index or corpus_index(docs, id_col, text_col)
     qt = F.broadcast(_query_tokens(spark, queries))
 
     # overlap = query tokens present in the doc's TOKEN SET; scoring then
@@ -143,14 +152,14 @@ def semantic_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     ranked: bool = True,
+    index=None,
 ) -> DataFrame:
     """TF-IDF-vector cosine search (semantic_qa.py:357-389): both sides
     are tf·idf-weighted token vectors; cosine reduces to the sum over
     COMMON tokens of w_q·w_d over the norm product — computed sparsely
     via the token join, never materializing the dense vocab vector."""
-    toks = doc_tokens(docs, id_col, text_col)
-    n_docs = docs.count()
-    idf = F.broadcast(idf_table(toks, n_docs))
+    toks, idf_df, _n = index or corpus_index(docs, id_col, text_col)
+    idf = F.broadcast(idf_df)
 
     # doc vector: tf = occurrences / doc token count (compute_tf :134-141)
     dtf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("n"))
@@ -214,11 +223,12 @@ def hybrid_search(
     semantic scores when both found the doc, passthrough otherwise.
     The reference filters/caps AFTER merging (:299-303), so both legs
     run uncapped here (min_score 0, max_results unbounded) first."""
+    idx = corpus_index(docs, id_col, text_col)
     kw = keyword_search(docs, spark, queries, 0.0, 1 << 30, id_col, text_col,
-                        ranked=False) \
+                        ranked=False, index=idx) \
         .select("query", "doc_id", F.col("score").alias("ks"))
     sem = semantic_search(docs, spark, queries, -1.0, 1 << 30, id_col, text_col,
-                          ranked=False) \
+                          ranked=False, index=idx) \
         .select("query", "doc_id", F.col("score").alias("ss"))
     merged = kw.join(sem, ["query", "doc_id"], "full").select(
         "query", "doc_id",
