@@ -347,12 +347,19 @@ def measurements(
     """SourceMeasurement rows → OMOP Measurement (measurement_etl.py:358-425)."""
     r = _person_id(_lookup_concepts(meas, concepts, relationships), persons)
     value, op = _operator_and_value(F.col("value_numeric"), F.col("value_text"))
-    # type: explicit measurement_type, else LOINC hint → lab, else default
-    # (measurement_etl.py:331-356)
-    mtype = (
-        F.when(F.lower(F.col("code_system")).contains("loinc"), F.lit(32856))
-        .otherwise(F.lit(default_type_concept_id))
-    )
+    # type: explicit measurement_type first, else LOINC hint → lab, else
+    # default (measurement_etl.py:331-356)
+    loinc_hint = F.when(
+        F.lower(F.col("code_system")).contains("loinc"), F.lit(32856)
+    ).otherwise(F.lit(default_type_concept_id))
+    if "measurement_type" in meas.columns:
+        mtype = F.coalesce(
+            _map_lit(MEASUREMENT_TYPE_CONCEPT_MAP)[
+                F.lower(F.trim(F.col("measurement_type")))],
+            loinc_hint,
+        )
+    else:
+        mtype = loinc_hint
     return r.select(
         F.col("source_id").alias("measurement_source_id"),
         "person_id",

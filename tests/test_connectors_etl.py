@@ -470,3 +470,59 @@ class TestPersonVisitObservationDeathETL:
         d2 = rows[2]
         assert d2["death_type_concept_id"] == 32817  # unknown type → default
         assert d2["cause_concept_id"] == 0 and d2["cause_source_value"] is None
+
+
+class TestRemainingConnectorPaths:
+    def test_csv_visits_and_procedures(self, spark, tmp_path):
+        from kgnorm import connectors as cn
+
+        v = tmp_path / "visits.csv"
+        v.write_text(
+            "encounter_id,patientid,admission_date,discharge_date,facility\n"
+            "E1,P1,2024-01-01 08:00:00,2024-01-05 10:00:00,General Hospital\n")
+        row = cn.csv_visits(cn.read_csv(spark, str(v))).collect()[0]
+        assert row["source_id"] == "E1"
+        assert str(row["start_datetime"]) == "2024-01-01 08:00:00"
+        assert row["facility_name"] == "General Hospital"
+
+        p = tmp_path / "procs.csv"
+        p.write_text("procedure_id,patient_id,cpt_code,procedure_name,procedure_date\n"
+                     "PR1,P1,99213,Office visit,2024-02-01\n")
+        row = cn.csv_procedures(cn.read_csv(spark, str(p))).collect()[0]
+        assert row["code"] == "99213"
+        assert row["code_system"] == "CPT4"  # default (:631)
+        assert str(row["performed_datetime"])[:10] == "2024-02-01"
+
+    def test_db_patients(self, spark):
+        import datetime
+        from kgnorm import dbsource
+
+        df = spark.createDataFrame(
+            [("P1", "Jane", "Doe", datetime.date(1960, 5, 1), "F", "White")],
+            "PAT_ID string, FNAME string, LNAME string, DOB date,"
+            " SEX string, RACE string")
+        r = dbsource.db_patients(df).collect()[0]
+        assert r["source_id"] == "P1" and r["gender"] == "female"
+        assert str(r["birth_date"]) == "1960-05-01"
+        assert r["family_name"] == "Doe"
+
+    def test_measurement_type_explicit(self, spark, etl_dims):
+        from kgnorm import etl
+
+        src = spark.createDataFrame(
+            [("M1", "P1", "4548-4", "LOINC", "a1c", 7.0, None, "%",
+              None, None, None, None, "Vital"),
+             ("M2", "P1", "4548-4", "LOINC", "a1c", 7.0, None, "%",
+              None, None, None, None, "bogus")],
+            "source_id string, patient_source_id string, code string,"
+            " code_system string, display_text string, value_numeric double,"
+            " value_text string, unit string, range_low double,"
+            " range_high double, interpretation string,"
+            " effective_datetime timestamp, measurement_type string",
+        )
+        rows = {r["measurement_source_id"]: r for r in
+                etl.measurements(src, *etl_dims).collect()}
+        # explicit type wins over the LOINC hint (measurement_etl.py:338-345)
+        assert rows["M1"]["measurement_type_concept_id"] == 32836
+        # unknown explicit type falls through to the hint
+        assert rows["M2"]["measurement_type_concept_id"] == 32856
