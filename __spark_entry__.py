@@ -1873,6 +1873,42 @@ def _q_athena_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_DONE: set = set()
+
+
+def _q_stream_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming incremental extraction (kgnorm/streaming.py):
+    transcripts → availableNow file stream → mention parquet sink, read
+    back.  Must match the BATCH extraction bit-for-bit, so it shares
+    kg_mentions' oracle — the strongest possible check of the streaming
+    plan's equivalence."""
+    import shutil
+
+    from kgnorm import streaming
+
+    s = _stages(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"kgnorm_stream_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    key = (spark.sparkContext.applicationId, base)
+    out_dir = os.path.join(base, "out")
+    if key not in _STREAM_DONE:
+        shutil.rmtree(base, ignore_errors=True)
+        in_dir = os.path.join(base, "in")
+        s["transcripts"].write.mode("overwrite").parquet(in_dir)
+        q = streaming.run_stream_to_dir(
+            spark, in_dir, out_dir, os.path.join(base, "ckpt"), s["dictionary"]
+        )
+        q.awaitTermination()
+        _STREAM_DONE.add(key)
+    return spark.read.parquet(out_dir).select(
+        "conv_id", "turn_idx", "mention_text", "start_offset", "end_offset",
+        "lexical_variant", "section", "assertion", "temporality", "experiencer",
+        "confidence", "domain_hint", "omop_concept_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders
 # ---------------------------------------------------------------------------
@@ -4569,6 +4605,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "db_source_records": _q_db_source_records,
         "sentence_spans": _q_sentence_spans,
         "summary_sbar": _q_summary_sbar,
+        "stream_mentions": _q_stream_mentions,
         "kg_mentions": _q_kg_mentions,
         "kg_candidates": _q_kg_candidates,
         "kg_facts": _q_kg_facts,
@@ -4670,6 +4707,7 @@ def oracle_sql() -> dict[str, str]:
         "db_source_records": _oracle_db_source_records(),
         "sentence_spans": _oracle_sentence_spans(),
         "summary_sbar": _oracle_summary_sbar(),
+        "stream_mentions": _oracle_kg_mentions(),
         "kg_mentions": _oracle_kg_mentions(),
         "kg_candidates": _oracle_kg_candidates(),
         "kg_facts": _oracle_kg_facts(),
