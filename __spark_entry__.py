@@ -1909,6 +1909,15 @@ def _q_stream_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ner_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML NER path (nlp_clinical_ner.py): pluggable model inference (the
+    deterministic sandbox stand-in here) through the REAL post-processing
+    pipeline — domain mapping, confidence calibration, context rules."""
+    from kgnorm import ner
+
+    return ner.ner_mentions_df(_stages(spark, sf_dir)["transcripts"])
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders
 # ---------------------------------------------------------------------------
@@ -3797,6 +3806,41 @@ WHERE vocabulary_id IN ('SNOMED', 'RxNorm', 'LOINC')
                     'Observation', 'Device')"""
 
 
+_EXPECTED_NER = None
+
+
+def _expected_ner() -> list[tuple]:
+    """Fake-model NER over the 10 templates via the same pure-Python
+    kernel the Arrow UDF runs."""
+    global _EXPECTED_NER
+    if _EXPECTED_NER is None:
+        from kgnorm import ner
+
+        rows = []
+        for tmpl, text in enumerate(synth.note_templates()):
+            for m in ner.postprocess(text, ner.fake_model_fn(text)):
+                rows.append((
+                    tmpl, m["mention_text"], m["start_offset"], m["end_offset"],
+                    m["lexical_variant"], m["assertion"], m["temporality"],
+                    m["experiencer"], m["confidence"], m["domain_hint"],
+                ))
+        _EXPECTED_NER = rows
+    return _EXPECTED_NER
+
+
+def _oracle_ner_mentions() -> str:
+    cols = ("tmpl, mention_text, start_offset, end_offset, lexical_variant,"
+            " assertion, temporality, experiencer, confidence, domain_hint")
+    return f"""WITH {_turns_cte()},
+nexp({cols}) AS (VALUES {_values(_expected_ner())})
+SELECT t.conv_id, t.turn_idx, e.mention_text,
+       CAST(e.start_offset AS INT) AS start_offset,
+       CAST(e.end_offset AS INT) AS end_offset,
+       e.lexical_variant, e.assertion, e.temporality, e.experiencer,
+       CAST(e.confidence AS DOUBLE) AS confidence, e.domain_hint
+FROM turns t JOIN nexp e USING (tmpl)"""
+
+
 def _oracle_report_clinical() -> str:
     from kgnorm.summarizer import CRITICAL_TERMS
     crit_cond = " OR ".join(f"lower(concept_name) LIKE '%{t}%'" for t in CRITICAL_TERMS)
@@ -4606,6 +4650,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sentence_spans": _q_sentence_spans,
         "summary_sbar": _q_summary_sbar,
         "stream_mentions": _q_stream_mentions,
+        "ner_mentions": _q_ner_mentions,
         "kg_mentions": _q_kg_mentions,
         "kg_candidates": _q_kg_candidates,
         "kg_facts": _q_kg_facts,
@@ -4708,6 +4753,7 @@ def oracle_sql() -> dict[str, str]:
         "sentence_spans": _oracle_sentence_spans(),
         "summary_sbar": _oracle_summary_sbar(),
         "stream_mentions": _oracle_kg_mentions(),
+        "ner_mentions": _oracle_ner_mentions(),
         "kg_mentions": _oracle_kg_mentions(),
         "kg_candidates": _oracle_kg_candidates(),
         "kg_facts": _oracle_kg_facts(),

@@ -1,0 +1,237 @@
+"""ML NER path: model-backed entity extraction with the reference's
+post-processing pipeline, model inference stubbed in this sandbox.
+
+Port of ``backend/app/services/nlp_clinical_ner.py``:
+
+* ENTITY_TO_DOMAIN mapping incl. BIO-tag stripping and the skipped
+  spaCy general types (:28-56, :453-463);
+* per-source confidence calibration (:58-62, :466-471): spaCy → 0.60,
+  transformer scores < 0.1 floored to 0.85; min_confidence 0.5 and
+  min_entity_length 2 gates (:85-86, :450-451);
+* context-window assertion/temporality/experiencer detection
+  (:257-304): uncertainty checked FIRST (before and after the span),
+  negation before-only, past/family before-only — 50-char windows;
+* span-overlap merge preferring the transformer source (:372-404).
+
+MODEL AVAILABILITY: neither HuggingFace transformers nor spaCy ships in
+this sandbox (they are OPTIONAL in the reference too — it degrades to
+returning nothing, :425-427).  Following the multimodal pattern
+(kgnorm/multimodal.py), the inference call is pluggable: pass any
+``model_fn(text) -> list[{word,start,end,entity_group,score,source}]``
+— a real pipeline on a GPU cluster, or the deterministic keyword-spotter
+``fake_model_fn`` used by the tests, which exercises every piece of the
+REAL post-processing (mapping, calibration, context rules, merge).
+
+Spark-first: the whole path is one ``mapInPandas``-style Arrow kernel
+over the transcripts partitioning — identical batch shape to the main
+dictionary extraction (kgnorm/extract.py), so a GPU-backed model_fn
+slots into the same plan, one model load per executor process.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd  # module-level: pandas_udf resolves Series annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+# :28-56 (None = skip the entity type)
+ENTITY_TO_DOMAIN: dict[str, str | None] = {
+    "PROBLEM": "Condition", "DISEASE": "Condition",
+    "SYMPTOM": "Observation",
+    "TREATMENT": "Drug", "MEDICATION": "Drug", "DRUG": "Drug",
+    "CHEMICAL": "Drug",
+    "TEST": "Measurement", "LAB": "Measurement",
+    "ANATOMY": "Spec Anatomic Site", "BODY_PART": "Spec Anatomic Site",
+    "PROCEDURE": "Procedure",
+    "PERSON": None, "ORG": None, "GPE": None, "DATE": None, "TIME": None,
+    "MONEY": None, "PERCENT": None, "CARDINAL": None, "ORDINAL": None,
+    "QUANTITY": "Measurement", "PRODUCT": "Device",
+}
+
+CONFIDENCE_BY_SOURCE = {"transformer_ner": 0.85, "spacy_general": 0.60}  # :58-62
+
+MIN_ENTITY_LENGTH = 2   # :85
+MIN_CONFIDENCE = 0.5    # :86
+CONTEXT_WINDOW = 50     # :89
+
+NEGATION_PATTERNS = [
+    r"\bno\b", r"\bnot\b", r"\bnone\b", r"\bnever\b",
+    r"\bdenies?\b", r"\bdenied\b", r"\bwithout\b",
+    r"\babsent\b", r"\bnegative\b", r"\bruled\s+out\b",
+    r"\bno\s+evidence\b", r"\bno\s+sign\b", r"\bfree\s+of\b",
+]
+UNCERTAINTY_PATTERNS = [
+    r"\bpossible\b", r"\bprobable\b", r"\bsuspect\b",
+    r"\bquestionable\b", r"\bmay\b", r"\bmight\b",
+    r"\bcould\b", r"\blikely\b", r"\brule\s+out\b",
+    r"\bconcern\s+for\b", r"\bworrisome\b", r"\bsuggests?\b",
+]
+PAST_PATTERNS = [
+    r"\bhistory\s+of\b", r"\bprior\b", r"\bprevious\b",
+    r"\bformer\b", r"\bpast\b", r"\bhad\b", r"\bwas\b",
+    r"\bdiagnosed\s+with\b", r"\btreated\s+for\b",
+    r"\bresolved\b", r"\bremission\b",
+]
+FAMILY_PATTERNS = [
+    r"\bfamily\s+history\b", r"\bfamilial\b",
+    r"\bmother\b", r"\bfather\b", r"\bsibling\b",
+    r"\bbrother\b", r"\bsister\b", r"\bgrandparent\b",
+    r"\bfh\s*[:]\b", r"\brelative\b",
+]
+
+_NEG = [re.compile(p) for p in NEGATION_PATTERNS]
+_UNC = [re.compile(p) for p in UNCERTAINTY_PATTERNS]
+_PAST = [re.compile(p) for p in PAST_PATTERNS]
+_FAM = [re.compile(p) for p in FAMILY_PATTERNS]
+
+
+def _context(text: str, start: int, end: int) -> tuple[str, str]:
+    """(:257-262)."""
+    return (
+        text[max(0, start - CONTEXT_WINDOW):start].lower(),
+        text[end:min(len(text), end + CONTEXT_WINDOW)].lower(),
+    )
+
+
+def detect_assertion(text: str, start: int, end: int) -> str:
+    """(:264-281): uncertainty first (before OR after), then negation
+    (before only)."""
+    before, after = _context(text, start, end)
+    for p in _UNC:
+        if p.search(before) or p.search(after):
+            return "possible"
+    for p in _NEG:
+        if p.search(before):
+            return "absent"
+    return "present"
+
+
+def detect_temporality(text: str, start: int, end: int) -> str:
+    """(:283-294)."""
+    before, _ = _context(text, start, end)
+    for p in _PAST:
+        if p.search(before):
+            return "historical"
+    return "current"
+
+
+def detect_experiencer(text: str, start: int, end: int) -> str:
+    """(:296-304)."""
+    before, _ = _context(text, start, end)
+    for p in _FAM:
+        if p.search(before):
+            return "family"
+    return "patient"
+
+
+def merge_entities(transformer_ents: list[dict], spacy_ents: list[dict]) -> list[dict]:
+    """Span-overlap merge preferring the transformer source (:372-404)."""
+    spans = set()
+    for e in transformer_ents:
+        spans.update(range(e.get("start", 0), e.get("end", 0)))
+    merged = list(transformer_ents)
+    for e in spacy_ents:
+        if not any(i in spans for i in range(e.get("start", 0), e.get("end", 0))):
+            merged.append(e)
+    return merged
+
+
+def postprocess(text: str, entities: list[dict]) -> list[dict]:
+    """Raw model entities → mention dicts (:441-501): BIO stripping,
+    domain mapping with skips, per-source confidence calibration,
+    length/confidence gates, context rules."""
+    out = []
+    for ent in entities:
+        word = ent.get("word", "")
+        start = ent.get("start", 0)
+        end = ent.get("end", 0)
+        if len(word.strip()) < MIN_ENTITY_LENGTH:
+            continue
+        etype = ent.get("entity_group", "UNKNOWN")
+        if etype.startswith(("B-", "I-")):
+            etype = etype[2:]
+        domain = ENTITY_TO_DOMAIN.get(etype.upper())
+        if domain is None:
+            continue
+        confidence = ent.get("score", 0.7)
+        if ent.get("source") == "spacy":
+            confidence = CONFIDENCE_BY_SOURCE["spacy_general"]
+        elif confidence < 0.1:
+            confidence = CONFIDENCE_BY_SOURCE["transformer_ner"]
+        if confidence < MIN_CONFIDENCE:
+            continue
+        out.append({
+            "mention_text": word,
+            "start_offset": start,
+            "end_offset": end,
+            "lexical_variant": word.lower().strip(),
+            "assertion": detect_assertion(text, start, end),
+            "temporality": detect_temporality(text, start, end),
+            "experiencer": detect_experiencer(text, start, end),
+            "confidence": float(confidence),
+            "domain_hint": domain,
+        })
+    return out
+
+
+# deterministic stand-in model: keyword spotter over a tiny lexicon —
+# NOT a clinical model, just enough signal to drive the REAL
+# post-processing in tests and sandbox queries
+_FAKE_LEXICON = {
+    "pneumonia": ("B-PROBLEM", 0.92),
+    "diabetes": ("B-PROBLEM", 0.9),
+    "metformin": ("B-TREATMENT", 0.88),
+    "hemoglobin": ("B-TEST", 0.8),
+    "springfield": ("B-GPE", 0.95),      # skipped type
+    "x": ("B-PROBLEM", 0.92),            # gated by min length
+}
+
+
+def fake_model_fn(text: str) -> list[dict]:
+    tl = text.lower()
+    out = []
+    for term, (tag, score) in _FAKE_LEXICON.items():
+        start = 0
+        while True:
+            i = tl.find(term, start)
+            if i < 0:
+                break
+            out.append({"word": text[i:i + len(term)], "start": i,
+                        "end": i + len(term), "entity_group": tag,
+                        "score": score, "source": "transformer"})
+            start = i + 1
+    return sorted(out, key=lambda e: (e["start"], e["end"]))
+
+
+NER_MENTION_TYPE = T.ArrayType(T.StructType([
+    T.StructField("mention_text", T.StringType()),
+    T.StructField("start_offset", T.IntegerType()),
+    T.StructField("end_offset", T.IntegerType()),
+    T.StructField("lexical_variant", T.StringType()),
+    T.StructField("assertion", T.StringType()),
+    T.StructField("temporality", T.StringType()),
+    T.StructField("experiencer", T.StringType()),
+    T.StructField("confidence", T.DoubleType()),
+    T.StructField("domain_hint", T.StringType()),
+]))
+
+
+def ner_mentions_df(transcripts: DataFrame, model_fn=None,
+                    text_col: str = "text") -> DataFrame:
+    """One row per NER mention over the transcripts partitioning — the
+    same Arrow-batched kernel shape as the dictionary extraction, so a
+    real GPU model_fn loads once per executor process."""
+    fn = model_fn or fake_model_fn
+
+    def _kernel(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda t: postprocess(t, fn(t)) if t is not None else [])
+
+    kernel = F.pandas_udf(_kernel, NER_MENTION_TYPE)
+    keys = [c for c in ("conv_id", "turn_idx") if c in transcripts.columns]
+    return transcripts.select(
+        *keys, F.explode(kernel(F.col(text_col))).alias("m")
+    ).select(*keys, "m.*")
