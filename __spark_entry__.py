@@ -1107,14 +1107,25 @@ def _etl_persons_df(spark):
 _SRC_FIX_WRITTEN: set = set()
 
 
+def _sf_tag(sf_dir: str) -> str:
+    """Fixture-root tag: basename PLUS a hash of the full normalized
+    path — two sf dirs sharing a basename (.../a/sf and .../b/sf) must
+    never share or overwrite fixtures within one app."""
+    import hashlib
+
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    h = hashlib.sha1(norm.encode()).hexdigest()[:8]
+    return f"{os.path.basename(norm) or 'sf'}_{h}"
+
+
 def _src_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Write the connector input files (CSV + FHIR NDJSON), derived
     DETERMINISTICALLY from the documents table by Spark itself —
     distributed ``df.write``, never a driver loop.  The oracles recompute
     the expected records straight from the ``documents`` view, so the
     whole file round-trip (write → read → parse) is value-checked."""
-    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(tempfile.gettempdir(), f"kgnorm_srcfix_{base}_{os.getpid()}")
+    root = os.path.join(
+        tempfile.gettempdir(), f"kgnorm_srcfix_{_sf_tag(sf_dir)}_{os.getpid()}")
     key = (spark.sparkContext.applicationId, root)
     if key in _SRC_FIX_WRITTEN:
         return root
@@ -1888,9 +1899,7 @@ def _q_stream_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = _stages(spark, sf_dir)
     base = os.path.join(
-        tempfile.gettempdir(),
-        f"kgnorm_stream_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
-    )
+        tempfile.gettempdir(), f"kgnorm_stream_{_sf_tag(sf_dir)}_{os.getpid()}")
     key = (spark.sparkContext.applicationId, base)
     out_dir = os.path.join(base, "out")
     if key not in _STREAM_DONE:
@@ -4603,56 +4612,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        "kg_advanced_mentions": _q_kg_advanced_mentions,
-        "risk_scores": _q_risk_scores,
-        "quality_rollup": _q_quality_rollup,
+        # ORDER = driver-sweep priority (the driver checks the first
+        # ~50 entries per round): queries whose code changed this
+        # round first, then the queries whose latest driver row is
+        # oldest (r2-era), then the r3-checked remainder.
         "quality_trend": _q_quality_trend,
-        "accuracy_prf": _q_accuracy_prf,
-        "pattern_relations": _q_pattern_relations,
-        "treats_edges": _q_treats_edges,
-        "kg_canonical_triples": _q_kg_canonical_triples,
-        "kg_positive_facts": _q_kg_positive_facts,
-        "pricing_summary": _q_pricing_summary,
-        "customer_order_stats": _q_customer_order_stats,
-        "source_records_csv": _q_source_records_csv,
-        "source_records_fhir": _q_source_records_fhir,
-        "etl_conditions": _q_etl_conditions,
-        "etl_drugs": _q_etl_drugs,
-        "etl_measurements": _q_etl_measurements,
-        "etl_persons": _q_etl_persons,
-        "etl_visits": _q_etl_visits,
-        "etl_procedures": _q_etl_procedures,
-        "etl_observations": _q_etl_observations,
-        "etl_deaths": _q_etl_deaths,
-        "summary_problems": _q_summary_problems,
-        "summary_one_liner": _q_summary_one_liner,
-        "summary_medications": _q_summary_medications,
-        "summary_critical": _q_summary_critical,
-        "summary_rollup": _q_summary_rollup,
-        "cdi_queries": _q_cdi_queries,
-        "cdi_batch": _q_cdi_batch,
         "search_keyword": _q_search_keyword,
         "search_hybrid": _q_search_hybrid,
-        "fact_search": _q_fact_search,
-        "concept_relations": _q_concept_relations,
         "qa_answers": _q_qa_answers,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_canonical": _q_dedup_canonical,
-        "report_clinical": _q_report_clinical,
-        "report_extraction": _q_report_extraction,
-        "athena_concepts": _q_athena_concepts,
-        "lab_causes": _q_lab_causes,
-        "hl7_conditions": _q_hl7_conditions,
-        "hl7_measurements": _q_hl7_measurements,
-        "ccda_conditions": _q_ccda_conditions,
-        "ccda_labs": _q_ccda_labs,
-        "db_source_records": _q_db_source_records,
-        "sentence_spans": _q_sentence_spans,
-        "summary_sbar": _q_summary_sbar,
-        "stream_mentions": _q_stream_mentions,
+        "etl_measurements": _q_etl_measurements,
         "ner_mentions": _q_ner_mentions,
-        "kg_mentions": _q_kg_mentions,
-        "kg_candidates": _q_kg_candidates,
         "kg_facts": _q_kg_facts,
         "kg_triples": _q_kg_triples,
         "kg_domain_counts": _q_kg_domain_counts,
@@ -4689,10 +4658,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
-        "multimodal_features": _q_multimodal_features,
-        "frame_sample": _q_frame_sample,
-        "events_tumbling": _q_events_tumbling,
-        "events_sessionize": _q_events_sessionize,
         "clinical_values": _q_clinical_values,
         "lab_interpret": _q_lab_interpret,
         "pattern_entities": _q_pattern_entities,
@@ -4701,6 +4666,54 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_relations": _q_kg_relations,
         "fhir_export": _q_fhir_export,
         "kg_mentions_enhanced": _q_kg_mentions_enhanced,
+        "multimodal_features": _q_multimodal_features,
+        "frame_sample": _q_frame_sample,
+        "events_tumbling": _q_events_tumbling,
+        "events_sessionize": _q_events_sessionize,
+        "kg_advanced_mentions": _q_kg_advanced_mentions,
+        "risk_scores": _q_risk_scores,
+        "quality_rollup": _q_quality_rollup,
+        "accuracy_prf": _q_accuracy_prf,
+        "pattern_relations": _q_pattern_relations,
+        "treats_edges": _q_treats_edges,
+        "kg_canonical_triples": _q_kg_canonical_triples,
+        "kg_positive_facts": _q_kg_positive_facts,
+        "pricing_summary": _q_pricing_summary,
+        "customer_order_stats": _q_customer_order_stats,
+        "source_records_csv": _q_source_records_csv,
+        "source_records_fhir": _q_source_records_fhir,
+        "etl_conditions": _q_etl_conditions,
+        "etl_drugs": _q_etl_drugs,
+        "etl_persons": _q_etl_persons,
+        "etl_visits": _q_etl_visits,
+        "etl_procedures": _q_etl_procedures,
+        "etl_observations": _q_etl_observations,
+        "etl_deaths": _q_etl_deaths,
+        "summary_problems": _q_summary_problems,
+        "summary_one_liner": _q_summary_one_liner,
+        "summary_medications": _q_summary_medications,
+        "summary_critical": _q_summary_critical,
+        "summary_rollup": _q_summary_rollup,
+        "cdi_queries": _q_cdi_queries,
+        "cdi_batch": _q_cdi_batch,
+        "fact_search": _q_fact_search,
+        "concept_relations": _q_concept_relations,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_canonical": _q_dedup_canonical,
+        "report_clinical": _q_report_clinical,
+        "report_extraction": _q_report_extraction,
+        "athena_concepts": _q_athena_concepts,
+        "lab_causes": _q_lab_causes,
+        "hl7_conditions": _q_hl7_conditions,
+        "hl7_measurements": _q_hl7_measurements,
+        "ccda_conditions": _q_ccda_conditions,
+        "ccda_labs": _q_ccda_labs,
+        "db_source_records": _q_db_source_records,
+        "sentence_spans": _q_sentence_spans,
+        "summary_sbar": _q_summary_sbar,
+        "stream_mentions": _q_stream_mentions,
+        "kg_mentions": _q_kg_mentions,
+        "kg_candidates": _q_kg_candidates,
     }
 
 

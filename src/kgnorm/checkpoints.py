@@ -14,8 +14,11 @@ Spark's ``_SUCCESS`` marker.  The catalog branch is format-parametric:
 with Iceberg on the classpath it runs ``createOrReplace`` (atomic RTAS);
 for catalogs whose format lacks RTAS (e.g. the built-in session catalog
 with parquet, which is how the branch is exercised in this sandbox —
-there is no Iceberg runtime jar here) it degrades to drop + CTAS, the
-same catalog API surface minus the atomicity.
+there is no Iceberg runtime jar here) it degrades to staged
+CTAS-then-rename: the new stage is fully written to ``<name>__staging``
+BEFORE the old table is dropped and the staging table renamed in, so a
+mid-write crash leaves the previous good snapshot intact and the
+not-atomic window shrinks to the (metadata-only) drop+rename pair.
 """
 
 from __future__ import annotations
@@ -37,6 +40,13 @@ class StageStore:
     def _path(self, name: str) -> str:
         return os.path.join(self.base_dir, name)
 
+    def _writer(self, df: DataFrame, table: str, partition_by: list[str] | None):
+        writer = df.writeTo(table).using(self.table_format)
+        if partition_by:
+            from pyspark.sql.functions import col
+            writer = writer.partitionedBy(*[col(c) for c in partition_by])
+        return writer
+
     def exists(self, name: str) -> bool:
         if self.catalog:
             spark = SparkSession.getActiveSession()
@@ -46,17 +56,29 @@ class StageStore:
     def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
         if self.catalog:
             table = f"{self.catalog}.{name}"
-            writer = df.writeTo(table).using(self.table_format)
-            if partition_by:
-                from pyspark.sql.functions import col
-                writer = writer.partitionedBy(*[col(c) for c in partition_by])
             if self.table_format == "iceberg":
                 # atomic replace — readers never see a half-written stage
-                writer.createOrReplace()
+                self._writer(df, table, partition_by).createOrReplace()
             else:
-                # session-catalog formats have no RTAS: drop + CTAS
-                df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
-                writer.create()
+                # session-catalog formats have no RTAS: write the new
+                # stage COMPLETELY to a staging table, then swap via
+                # drop + rename (metadata-only) — a crash mid-CTAS
+                # leaves the previous stage table untouched
+                staging = f"{self.catalog}.{name}__staging"
+                sql = df.sparkSession.sql
+                sql(f"DROP TABLE IF EXISTS {staging}")
+                self._writer(df, staging, partition_by).create()
+                sql(f"DROP TABLE IF EXISTS {table}")
+                # the v1 session catalog caps ALTER ... RENAME at 2 name
+                # parts — drop its explicit catalog prefix; V2 catalogs
+                # rename with the full 3-part identifier
+                session_cat = self.catalog.split(".", 1)[0] == "spark_catalog"
+                strip = (lambda t: t.split(".", 1)[1]) if session_cat else (lambda t: t)
+                sql(f"ALTER TABLE {strip(staging)} RENAME TO {strip(table)}")
+                if session_cat and partition_by:
+                    # v1 managed-table rename moves the data directory but
+                    # leaves partition metadata pointing at the old paths
+                    sql(f"MSCK REPAIR TABLE {strip(table)}")
             return
         w = df.write.mode("overwrite")
         if partition_by:

@@ -326,7 +326,7 @@ def _operator_and_value(value_numeric, value_text):
         hit = ~matched & txt.startswith(sym)
         op = F.when(hit, F.lit(concept)).otherwise(op)
         num_after = F.when(
-            hit, F.trim(F.expr(f"substring(trim(value_text), {len(sym) + 1})")).try_cast("double")
+            hit, F.trim(F.substr(txt, F.lit(len(sym) + 1))).try_cast("double")
         ).otherwise(num_after)
         matched = matched | txt.startswith(sym)
     # a successfully-parsed operator suffix OVERWRITES value_numeric

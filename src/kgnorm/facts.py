@@ -107,6 +107,131 @@ def build_facts(fact_inputs: DataFrame, num_partitions: int | None = None) -> Da
     )
 
 
+def merge_facts(existing: DataFrame, new_inputs: DataFrame) -> DataFrame:
+    """MERGE-shaped incremental noisy-OR re-aggregation — the batch
+    upsert for stream-appended turns (kgnorm/streaming.py scopes the
+    sink; this closes the append-only 10^12-turn loop).
+
+    ``existing`` is a previously-built facts table (``build_facts``
+    output); ``new_inputs`` are FactInput rows for NEWLY-ARRIVED turns
+    only.  Noisy-OR is associative and commutative, so merging the
+    stored fact with the delta's aggregate equals re-aggregating from
+    scratch:  ``1 - (1-c_old)(1-c_delta)``, computed in log space like
+    ``build_facts``.  Confidence can wobble in the last ulps (the stored
+    ``confidence`` re-enters log space through ``1 - c``), which the
+    universal 6-dp consumer rounding absorbs; every other column is
+    exactly the full-rerun value.  Cross-side first-evidence tie-break
+    is (first_turn_idx, first_start_offset) — the batch ``min_by`` also
+    ranks end_offset, unknowable from the stored row; ties there prefer
+    the existing side (only cosmetic columns are affected; the dedup key
+    never is).
+
+    Spark plan = the MERGE INTO pattern: aggregate the (small) delta,
+    then ONE shuffle join on the fact key.  On Iceberg this maps 1:1 to
+    ``MERGE INTO facts USING delta ON <FACT_KEY> WHEN MATCHED THEN
+    UPDATE ... WHEN NOT MATCHED THEN INSERT``; for plain parquet use
+    ``upsert_facts_parquet`` (partition-scoped rewrite).
+    """
+    delta = build_facts(new_inputs)
+    e, n = existing.alias("e"), delta.alias("n")
+    joined = e.join(n, FACT_KEY, "full")
+
+    e_has = F.col("e.evidence_count").isNotNull()
+    n_has = F.col("n.evidence_count").isNotNull()
+    # side whose first evidence comes earliest in document order
+    e_first = e_has & (
+        ~n_has
+        | (F.col("e.first_turn_idx") < F.col("n.first_turn_idx"))
+        | (
+            (F.col("e.first_turn_idx") == F.col("n.first_turn_idx"))
+            & (F.col("e.first_start_offset") <= F.col("n.first_start_offset"))
+        )
+    )
+
+    def _first(col: str):
+        return F.when(e_first, F.col(f"e.{col}")).otherwise(F.col(f"n.{col}"))
+
+    def _log1m(side: str):
+        return F.when(
+            F.col(f"{side}.evidence_count").isNotNull(),
+            F.log(F.greatest(1.0 - F.col(f"{side}.confidence"), F.lit(1e-15))),
+        ).otherwise(F.lit(0.0))
+
+    conf = (
+        F.when(~n_has, F.col("e.confidence"))       # untouched fact: bit-identical
+        .when(~e_has, F.col("n.confidence"))        # brand-new fact: bit-identical
+        .otherwise(1.0 - F.exp(_log1m("e") + _log1m("n")))
+    )
+    return joined.select(
+        *FACT_KEY,
+        _first("concept_name").alias("concept_name"),
+        _first("domain").alias("domain"),
+        conf.alias("confidence"),
+        (F.coalesce(F.col("e.evidence_count"), F.lit(0))
+         + F.coalesce(F.col("n.evidence_count"), F.lit(0))).alias("evidence_count"),
+        # least() skips nulls — min(turn) across whichever sides exist
+        F.least(F.col("e.first_turn_idx"), F.col("n.first_turn_idx"))
+        .alias("first_turn_idx"),
+        _first("first_start_offset").alias("first_start_offset"),
+    )
+
+
+def bucket_col(n_buckets: int):
+    """Stable conv_id bucketing for the parquet facts layout."""
+    return F.pmod(F.hash("conv_id"), F.lit(n_buckets))
+
+
+def upsert_facts_parquet(
+    spark, facts_dir: str, new_inputs: DataFrame, n_buckets: int = 64
+) -> None:
+    """Parquet fallback for the Iceberg MERGE: the facts table lives
+    partitioned by ``_bucket = pmod(hash(conv_id), n_buckets)``; an
+    upsert re-aggregates ONLY the buckets containing delta conversations
+    and rewrites just those directories via dynamic partition overwrite
+    — at 10^9 facts an append touching 1% of conversations rewrites ~1%
+    of the table, never the whole thing.
+
+    First call (no table yet) writes all buckets.
+    """
+    import os
+
+    delta = build_facts(new_inputs).withColumn("_bucket", bucket_col(n_buckets))
+    # dynamic-overwrite commits don't write a root _SUCCESS marker —
+    # table presence = any bucket partition directory
+    table_exists = os.path.isdir(facts_dir) and any(
+        e.startswith("_bucket=") for e in os.listdir(facts_dir))
+    if table_exists:
+        existing = spark.read.parquet(facts_dir)
+        hot = delta.select("_bucket").distinct()
+        touched = existing.join(F.broadcast(hot), "_bucket", "left_semi")
+        merged = merge_facts(
+            touched.drop("_bucket"), new_inputs
+        ).withColumn("_bucket", bucket_col(n_buckets))
+        # the write dynamically overwrites the very partitions the plan
+        # reads — materialize the merged hot buckets first to sever the
+        # read-from/overwrite cycle (Iceberg's MERGE does this inside
+        # its snapshot transaction; a production parquet variant could
+        # instead stage to a sibling dir and swap, like
+        # kgnorm.checkpoints.StageStore)
+        merged = merged.localCheckpoint(eager=True)
+    else:
+        merged = delta
+    with _partition_overwrite(spark, "dynamic"):
+        merged.write.mode("overwrite").partitionBy("_bucket").parquet(facts_dir)
+
+
+class _partition_overwrite:
+    def __init__(self, spark, mode: str):
+        self.spark, self.mode = spark, mode
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.mode)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
+
+
 def positive_facts(facts: DataFrame) -> DataFrame:
     """Positive-event projection: ABSENT facts filtered.
 

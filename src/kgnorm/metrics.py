@@ -156,13 +156,59 @@ def aggregated_quality(per_doc: DataFrame) -> DataFrame:
 def rolling_trend(per_doc: DataFrame, value_col: str, window_size: int = 10) -> DataFrame:
     """Rolling-average trend over conversations ordered by conv_id
     (quality_metrics.py:494-525 exposes raw last-N points; the rolling
-    mean is the dashboard's smoothing step).  Row-frame window agg —
-    shuffles once on the global order key."""
-    w = Window.orderBy("conv_id").rowsBetween(-(window_size - 1), 0)
-    return per_doc.select(
+    mean is the dashboard's smoothing step).
+
+    Scale-safe exact plan (r3 verdict item #1 — the old
+    ``Window.orderBy("conv_id")`` with no partitionBy funneled the whole
+    per-doc table through ONE task).  The global order is realized with
+    the range-partition + offset trick, fully lazy:
+
+    1. ``repartitionByRange(conv_id)`` — order-preserving partitions
+       (Spark's range sampler is seeded per partition index, so the two
+       consumers of the exchange see identical boundaries even if
+       exchange reuse doesn't kick in);
+    2. per-partition counts -> cumulative offsets — the only
+       globally-ordered window left runs over #shuffle-partitions rows
+       (bounded by config), not #conversations;
+    3. global row number rn = offset + per-partition ``row_number``;
+    4. each row contributes to the ``window_size`` rolling windows
+       ending at rn .. rn+w-1: explode + groupBy(window end) computes
+       (sum, count) per window with map-side partial aggregation;
+       phantom windows past the last row drop out in the inner join.
+
+    Exact (byte-identical to the single-window plan) for integer
+    metrics — the driver query's ``mentions_extracted``; float metrics
+    could differ in summation order below the 6-dp rounding.
+    """
+    d = (
+        per_doc.select("conv_id", F.col(value_col).alias("value"))
+        .repartitionByRange("conv_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    counts = d.groupBy("pid").agg(F.count(F.lit(1)).alias("_c"))
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off")
+    )
+    rn_w = Window.partitionBy("pid").orderBy("conv_id")
+    numbered = (
+        d.join(F.broadcast(offsets), "pid")
+        .withColumn("rn", F.col("_off") + F.row_number().over(rn_w))
+    )
+    sums = (
+        numbered.select(
+            "value",
+            F.explode(
+                F.sequence(F.col("rn"), F.col("rn") + F.lit(window_size - 1))
+            ).alias("target"),
+        )
+        .groupBy("target")
+        .agg(F.sum("value").alias("_s"), F.count(F.lit(1)).alias("_n"))
+    )
+    return numbered.join(sums, numbered.rn == sums.target).select(
         "conv_id",
-        F.col(value_col).alias("value"),
-        F.round(F.avg(value_col).over(w), 6).alias("rolling_avg"),
+        "value",
+        F.round(F.col("_s") / F.col("_n"), 6).alias("rolling_avg"),
     )
 
 

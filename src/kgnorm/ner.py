@@ -16,16 +16,21 @@ Port of ``backend/app/services/nlp_clinical_ner.py``:
 MODEL AVAILABILITY: neither HuggingFace transformers nor spaCy ships in
 this sandbox (they are OPTIONAL in the reference too — it degrades to
 returning nothing, :425-427).  Following the multimodal pattern
-(kgnorm/multimodal.py), the inference call is pluggable: pass any
-``model_fn(text) -> list[{word,start,end,entity_group,score,source}]``
-— a real pipeline on a GPU cluster, or the deterministic keyword-spotter
-``fake_model_fn`` used by the tests, which exercises every piece of the
-REAL post-processing (mapping, calibration, context rules, merge).
+(kgnorm/multimodal.py), the inference call is pluggable and BATCHED
+(r3 verdict item #4): pass any
+``model_fn(texts: list[str]) -> list[list[{word,start,end,entity_group,score,source}]]``
+— a real transformer pipeline on a GPU cluster gets one forward pass
+per Arrow batch instead of per text — or the deterministic
+keyword-spotter ``fake_batch_model_fn`` used by the tests, which
+exercises every piece of the REAL post-processing (mapping,
+calibration, context rules, merge).  ``fake_model_fn`` remains the
+single-text kernel for direct unit/oracle use.
 
 Spark-first: the whole path is one ``mapInPandas``-style Arrow kernel
 over the transcripts partitioning — identical batch shape to the main
 dictionary extraction (kgnorm/extract.py), so a GPU-backed model_fn
-slots into the same plan, one model load per executor process.
+slots into the same plan, one model load per executor process and one
+model CALL per Arrow batch (``_batch_kernel``).
 """
 
 from __future__ import annotations
@@ -206,6 +211,12 @@ def fake_model_fn(text: str) -> list[dict]:
     return sorted(out, key=lambda e: (e["start"], e["end"]))
 
 
+def fake_batch_model_fn(texts: list[str]) -> list[list[dict]]:
+    """Batched stand-in matching the GPU-pipeline contract: one call per
+    Arrow batch, one entity list per input text."""
+    return [fake_model_fn(t) for t in texts]
+
+
 NER_MENTION_TYPE = T.ArrayType(T.StructType([
     T.StructField("mention_text", T.StringType()),
     T.StructField("start_offset", T.IntegerType()),
@@ -219,18 +230,31 @@ NER_MENTION_TYPE = T.ArrayType(T.StructType([
 ]))
 
 
+def _batch_kernel(fn):
+    """Series→Series kernel issuing exactly ONE ``fn(list[str])`` call
+    per Arrow batch (the GPU-batching contract); None texts yield []
+    without reaching the model, like the reference's empty-input guard
+    (nlp_clinical_ner.py:432-434)."""
+
+    def _kernel(col: pd.Series) -> pd.Series:
+        texts = [t for t in col if t is not None]
+        ents = iter(fn(texts)) if texts else iter(())
+        return col.map(
+            lambda t: postprocess(t, next(ents)) if t is not None else [])
+
+    return _kernel
+
+
 def ner_mentions_df(transcripts: DataFrame, model_fn=None,
                     text_col: str = "text") -> DataFrame:
     """One row per NER mention over the transcripts partitioning — the
     same Arrow-batched kernel shape as the dictionary extraction, so a
-    real GPU model_fn loads once per executor process."""
-    fn = model_fn or fake_model_fn
+    real GPU model_fn loads once per executor process and is invoked
+    once per Arrow batch with the whole batch's texts
+    (``model_fn(list[str]) -> list[list[entity]]``)."""
+    fn = model_fn or fake_batch_model_fn
 
-    def _kernel(col: pd.Series) -> pd.Series:
-        return col.map(
-            lambda t: postprocess(t, fn(t)) if t is not None else [])
-
-    kernel = F.pandas_udf(_kernel, NER_MENTION_TYPE)
+    kernel = F.pandas_udf(_batch_kernel(fn), NER_MENTION_TYPE)
     keys = [c for c in ("conv_id", "turn_idx") if c in transcripts.columns]
     return transcripts.select(
         *keys, F.explode(kernel(F.col(text_col))).alias("m")

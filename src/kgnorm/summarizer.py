@@ -12,7 +12,12 @@ Port of ``backend/app/services/clinical_summarizer.py``:
 * one-liner (:613-629): top-3 problems + active-med count,
   'Patient with <p1, p2, p3>, on <n> medications';
 * critical findings (:631-658): term scan over condition labels
-  (top 5 per patient);
+  (top 5 per patient).  NOTE the reference caps the COMBINED
+  conditions + critical-lab-values list at 5 (``critical[:5]``, :658);
+  ``critical_findings`` / ``critical_labs`` expose the legs separately
+  (uncapped labs) for composability, and ``critical_combined`` applies
+  the reference's shared cap — callers concatenating the two legs
+  themselves can exceed 5 and should use ``critical_combined``;
 * medication changes (:680-690): 'Discontinued: <drug>';
 * problem-oriented rollup (:756-792): counts by active/chronic/resolved
   buckets.
@@ -218,6 +223,29 @@ def critical_labs(values: DataFrame) -> DataFrame:
         "conv_id",
         F.concat(F.lit("Critical value: "), F.col("lab"), F.lit(" = "),
                  F.col("val").cast("string")).alias("finding"),
+    )
+
+
+def critical_combined(facts: DataFrame, values: DataFrame, cap: int = 5) -> DataFrame:
+    """Shared-cap parity helper (clinical_summarizer.py:658): the
+    reference builds ONE critical list — conditions first, then lab
+    values — and caps the COMBINED list at ``critical[:5]``.
+
+    The condition leg's own internal top-5 is harmless here: conditions
+    precede labs in the combined order, so no condition past the 5th
+    could survive the shared cap anyway.  Within the lab leg the
+    reference keeps document order; the deterministic stand-in is the
+    finding string (same policy as the module-level ordering note)."""
+    conds = critical_findings(facts).select(
+        "conv_id", "finding", F.lit(0).alias("_leg"))
+    labs = critical_labs(values).select(
+        "conv_id", "finding", F.lit(1).alias("_leg"))
+    w = Window.partitionBy("conv_id").orderBy("_leg", "finding")
+    return (
+        conds.unionByName(labs)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .select("conv_id", "finding")
     )
 
 

@@ -64,16 +64,86 @@ class TestCatalogStageStore:
         assert t1 == t2 and len(t1) > 0
 
 
-def test_iceberg_backend_roundtrip(spark, tmp_path):
-    """Runs only when the Iceberg runtime jar is present (production
-    classpath); documents the exact production configuration."""
-    if not _has_iceberg(spark):
-        pytest.skip("no Iceberg runtime jar on the classpath in this sandbox")
-    spark.conf.set("spark.sql.catalog.kgice", "org.apache.iceberg.spark.SparkCatalog")
-    spark.conf.set("spark.sql.catalog.kgice.type", "hadoop")
-    spark.conf.set("spark.sql.catalog.kgice.warehouse", str(tmp_path / "ice"))
+class _CallLog:
+    """Duck-typed DataFrame + writeTo writer recording every catalog
+    call StageStore.write issues — lets both write branches be asserted
+    exactly without an Iceberg runtime jar on the classpath."""
+
+    def __init__(self):
+        self.calls = []
+
+    # --- DataFrame surface ---
+    def writeTo(self, table):
+        self.calls.append(("writeTo", table))
+        return self
+
+    @property
+    def sparkSession(self):
+        return self
+
+    def sql(self, stmt):
+        self.calls.append(("sql", stmt))
+
+    # --- DataFrameWriterV2 surface ---
+    def using(self, fmt):
+        self.calls.append(("using", fmt))
+        return self
+
+    def partitionedBy(self, *cols):
+        self.calls.append(("partitionedBy", len(cols)))
+        return self
+
+    def createOrReplace(self):
+        self.calls.append(("createOrReplace",))
+
+    def create(self):
+        self.calls.append(("create",))
+
+
+def test_iceberg_branch_calls_atomic_rtas(spark, tmp_path):
+    """The production-Iceberg branch must issue exactly ONE atomic
+    ``createOrReplace`` (RTAS) and NO drop — asserted against the
+    recorded call sequence; with the runtime jar present the same
+    branch is additionally exercised for real."""
+    log = _CallLog()
     store = StageStore(str(tmp_path / "unused"), catalog="kgice.db")
-    df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("k"))
-    store.write(df, "stage_ice", partition_by=["k"])
-    assert store.exists("stage_ice")
-    assert store.read(spark, "stage_ice").count() == 10
+    store.write(log, "stage_ice", partition_by=["k"])
+    assert log.calls == [
+        ("writeTo", "kgice.db.stage_ice"),
+        ("using", "iceberg"),
+        ("partitionedBy", 1),
+        ("createOrReplace",),
+    ]
+    if _has_iceberg(spark):
+        spark.conf.set("spark.sql.catalog.kgice", "org.apache.iceberg.spark.SparkCatalog")
+        spark.conf.set("spark.sql.catalog.kgice.type", "hadoop")
+        spark.conf.set("spark.sql.catalog.kgice.warehouse", str(tmp_path / "ice"))
+        df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("k"))
+        store.write(df, "stage_ice", partition_by=["k"])
+        assert store.exists("stage_ice")
+        assert store.read(spark, "stage_ice").count() == 10
+
+
+def test_fallback_branch_stages_before_dropping(tmp_path):
+    """Non-RTAS catalogs: the new stage is FULLY written to a staging
+    table before the previous table is dropped, and the swap is a
+    metadata-only drop + rename (prior snapshot survives a mid-CTAS
+    crash)."""
+    log = _CallLog()
+    store = StageStore(str(tmp_path / "unused"), catalog="spark_catalog.kg",
+                       table_format="parquet")
+    store.write(log, "stage_p")
+    assert log.calls == [
+        ("sql", "DROP TABLE IF EXISTS spark_catalog.kg.stage_p__staging"),
+        ("writeTo", "spark_catalog.kg.stage_p__staging"),
+        ("using", "parquet"),
+        ("create",),
+        ("sql", "DROP TABLE IF EXISTS spark_catalog.kg.stage_p"),
+        # v1 session catalog: rename uses 2-part identifiers
+        ("sql", "ALTER TABLE kg.stage_p__staging RENAME TO kg.stage_p"),
+    ]
+    # partitioned: rename moves the data dir but strands the partition
+    # metadata — a repair must follow
+    log2 = _CallLog()
+    store.write(log2, "stage_q", partition_by=["k"])
+    assert log2.calls[-1] == ("sql", "MSCK REPAIR TABLE kg.stage_q")

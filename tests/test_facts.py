@@ -67,3 +67,111 @@ def test_first_evidence_wins_name(spark):
     f = facts_mod.build_facts(fi).collect()[0]
     assert f.concept_name == "FIRST"
     assert f.first_turn_idx == 0 and f.first_start_offset == 3
+
+
+# ---------------------------------------------------------------------------
+# incremental MERGE upsert (append-only stream → facts)
+# ---------------------------------------------------------------------------
+
+def _many_inputs(spark, n_convs=6, turns=8):
+    """Deterministic multi-conv corpus: overlapping concepts, varied
+    confidences, several evidences per fact key."""
+    rows = []
+    for c in range(n_convs):
+        for t in range(turns):
+            cid = (c + t) % 4 + 1
+            rows.append((
+                f"C{c}", t, (t * 7) % 40, (t * 7) % 40 + 5,
+                "present" if t % 3 else "absent", "current", "patient",
+                round(0.3 + 0.1 * ((c + 2 * t) % 7), 2),
+                cid, f"Concept {cid}", "condition",
+            ))
+    return _fact_inputs(spark, rows)
+
+
+def _canon(df):
+    return sorted(
+        (r.conv_id, r.omop_concept_id, r.assertion, r.temporality, r.experiencer,
+         r.concept_name, r.domain, round(r.confidence, 6), r.evidence_count,
+         r.first_turn_idx, r.first_start_offset)
+        for r in df.collect()
+    )
+
+
+def test_merge_equals_full_rerun(spark):
+    """Stream-appended turns: merge(build(old), new) == build(all) on
+    every column (confidence compared at the universal 6-dp rounding)."""
+    all_inputs = _many_inputs(spark)
+    old = all_inputs.filter(F.col("turn_idx") < 5)
+    new = all_inputs.filter(F.col("turn_idx") >= 5)
+    merged = facts_mod.merge_facts(facts_mod.build_facts(old), new)
+    assert _canon(merged) == _canon(facts_mod.build_facts(all_inputs))
+
+
+def test_merge_untouched_and_new_facts_bit_identical(spark):
+    """Facts with no delta evidence keep their stored confidence
+    bit-for-bit; delta-only facts equal a fresh build bit-for-bit."""
+    old = _fact_inputs(spark, [
+        ("C1", 0, 0, 5, "present", "current", "patient", 0.8, 1, "Cough", "condition"),
+        ("C1", 1, 0, 5, "present", "current", "patient", 0.6, 1, "Cough", "condition"),
+    ])
+    new = _fact_inputs(spark, [
+        ("C2", 9, 0, 5, "present", "current", "patient", 0.7, 2, "Fever", "condition"),
+    ])
+    before = facts_mod.build_facts(old)
+    stored = {r.omop_concept_id: r.confidence for r in before.collect()}
+    out = {r.omop_concept_id: r for r in
+           facts_mod.merge_facts(before, new).collect()}
+    assert out[1].confidence == stored[1]          # untouched: no recompute
+    fresh = facts_mod.build_facts(new).collect()[0]
+    assert out[2].confidence == fresh.confidence   # insert branch
+
+
+def test_merge_matched_key_noisy_or(spark):
+    old = _fact_inputs(spark, [
+        ("C1", 0, 0, 5, "present", "current", "patient", 0.8, 1, "Cough", "condition"),
+    ])
+    new = _fact_inputs(spark, [
+        ("C1", 5, 2, 7, "present", "current", "patient", 0.6, 1, "cough dup", "condition"),
+    ])
+    f = facts_mod.merge_facts(facts_mod.build_facts(old), new).collect()[0]
+    assert f.confidence == pytest.approx(1 - (1 - 0.8) * (1 - 0.6))
+    assert f.evidence_count == 2
+    assert f.concept_name == "Cough"       # earliest evidence wins
+    assert f.first_turn_idx == 0
+
+
+def test_upsert_parquet_partition_scoped(spark, tmp_path):
+    """The parquet MERGE fallback: only buckets holding delta
+    conversations are rewritten; the merged table equals a full rerun."""
+    import os
+
+    facts_dir = str(tmp_path / "facts")
+    all_inputs = _many_inputs(spark)
+    old = all_inputs.filter(F.col("turn_idx") < 5)
+    new = all_inputs.filter((F.col("turn_idx") >= 5) & (F.col("conv_id") == "C0"))
+    facts_mod.upsert_facts_parquet(spark, facts_dir, old, n_buckets=8)
+    # record per-file mtimes, then upsert a delta touching ONLY C0's bucket
+    def snapshot():
+        out = {}
+        for root, _, files in os.walk(facts_dir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    out[p] = os.path.getmtime(p)
+        return out
+    before = snapshot()
+    facts_mod.upsert_facts_parquet(spark, facts_dir, new, n_buckets=8)
+    after = snapshot()
+    hot = facts_mod.build_facts(new).select(
+        facts_mod.bucket_col(8).alias("b")).distinct().collect()
+    hot_dirs = {f"_bucket={r.b}" for r in hot}
+    untouched = [p for p in before
+                 if not any(h in p for h in hot_dirs)]
+    assert untouched, "test needs at least one untouched bucket"
+    for p in untouched:
+        assert p in after and after[p] == before[p], f"untouched bucket rewritten: {p}"
+    got = spark.read.parquet(facts_dir).drop("_bucket")
+    expected = facts_mod.build_facts(
+        all_inputs.filter((F.col("turn_idx") < 5) | (F.col("conv_id") == "C0")))
+    assert _canon(got) == _canon(expected)

@@ -69,6 +69,34 @@ class TestPostprocess:
         assert {m["source"] for m in merged} == {"transformer", "spacy"}
 
 
+class TestBatchedContract:
+    def test_one_model_call_per_arrow_batch(self):
+        """The GPU-batching contract: the kernel issues exactly ONE
+        model_fn call per Arrow batch, passing every non-null text."""
+        import pandas as pd
+
+        calls = []
+
+        def counting_fn(texts):
+            calls.append(list(texts))
+            return ner.fake_batch_model_fn(texts)
+
+        col = pd.Series([
+            "Patient has pneumonia.", None, "Taking metformin.", "no findings",
+        ])
+        out = ner._batch_kernel(counting_fn)(col)
+        assert len(calls) == 1
+        assert calls[0] == ["Patient has pneumonia.", "Taking metformin.", "no findings"]
+        assert out[1] == []  # None text short-circuits to no mentions
+        assert out[0][0]["mention_text"] == "pneumonia"
+        assert out[2][0]["mention_text"] == "metformin"
+
+    def test_batched_equals_single(self):
+        texts = ["Patient denies pneumonia.", "", "hemoglobin 12 and diabetes"]
+        batched = ner.fake_batch_model_fn(texts)
+        assert batched == [ner.fake_model_fn(t) for t in texts]
+
+
 class TestSparkPath:
     def test_ner_mentions_df(self, spark):
         t = spark.createDataFrame(

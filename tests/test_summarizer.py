@@ -123,6 +123,26 @@ class TestCriticalAndRollup:
         assert out == {"Critical value: Potassium = 7.2",
                        "Critical value: Sodium = 115.0"}
 
+    def test_critical_combined_shared_cap(self, spark):
+        """The COMBINED conditions + labs list is capped at 5 with
+        conditions first (clinical_summarizer.py:658)."""
+        from kgnorm import summarizer
+
+        rows = [("X", f"severe problem {i}", "condition", "present", "current",
+                 "patient", 0.9, i, 0) for i in range(4)]
+        f = spark.createDataFrame(rows, FACT_SCHEMA)
+        v = spark.createDataFrame(
+            [("X", "Potassium", 7.2, "mEq/L"),
+             ("X", "Sodium", 115.0, "mEq/L"),
+             ("X", "Glucose", 600.0, "mg/dL")],
+            "conv_id string, label string, value double, unit string")
+        out = [r["finding"] for r in
+               summarizer.critical_combined(f, v).collect()]
+        assert len(out) == 5
+        # all 4 conditions survive; only 1 of the 3 critical labs fits
+        assert sum(x.startswith("Critical condition:") for x in out) == 4
+        assert sum(x.startswith("Critical value:") for x in out) == 1
+
     def test_rollup(self, spark, facts):
         from kgnorm import summarizer
 

@@ -14,14 +14,22 @@ Deliberately emulates the driver harness:
   pandas renders as float64 mismatches a Spark BIGINT (the r01
   ``token_stats`` hash-fail mechanism).
 
+Also emits per-query wall-time telemetry (spark seconds, oracle
+seconds) to ``TIMINGS.json`` at the repo root (override with
+``KGNORM_TIMINGS_OUT``; set it empty to skip) so the driver's
+~50-query/round sweep cap can be diagnosed and the registry order
+tuned empirically (r3 verdict item #9).
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -105,26 +113,36 @@ def main() -> None:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    timings: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
         except Exception as e:
             print(f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:500]}")
             failures += 1
+            timings[name] = {"spark_sec": round(time.monotonic() - t0, 3),
+                             "oracle_sec": None, "err": type(e).__name__}
             continue
+        timings[name] = {"spark_sec": round(time.monotonic() - t0, 3),
+                         "oracle_sec": None, "err": None}
         scols = list(spdf.columns)
         if name not in oracles:
             print(f"{name}: rows-only check — {len(spdf)} rows")
             continue
+        t1 = time.monotonic()
         try:
             opdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"{name}: ORACLE ERROR {e}")
             failures += 1
+            timings[name]["err"] = "oracle"
             continue
+        finally:
+            timings[name]["oracle_sec"] = round(time.monotonic() - t1, 3)
         ocols = list(opdf.columns)
         ok = True
         if sorted(scols) != sorted(ocols):
@@ -147,6 +165,14 @@ def main() -> None:
         else:
             failures += 1
     spark.stop()
+    out = os.environ.get("KGNORM_TIMINGS_OUT", os.path.join(REPO, "TIMINGS.json"))
+    if out and timings:
+        with open(out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "queries": timings,
+                       "total_sec": round(sum(t["spark_sec"] + (t["oracle_sec"] or 0)
+                                              for t in timings.values()), 3)},
+                      fh, indent=1, sort_keys=True)
+        print(f"timings -> {out}")
     sys.exit(1 if failures else 0)
 
 
