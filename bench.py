@@ -41,7 +41,11 @@ def main() -> None:
         sf = -1.0
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or (os.cpu_count() or 4))
 
-    spark = get_spark("kgnorm-bench", master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
+    # more heap than the library default: the sf1.0 block caches ~50M
+    # mention rows; UI on so shuffle bytes are observable via REST
+    os.environ.setdefault("KGNORM_DRIVER_MEM", "48g")
+    spark = get_spark("kgnorm-bench", master=f"local[{cpus}]", shuffle_partitions=cpus * 2,
+                      extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -59,7 +63,34 @@ def main() -> None:
     unique_texts = bool(os.environ.get("KGNORM_UNIQUE_TEXTS"))
     transcripts = synth.synth_transcripts(spark, n_turns, unique_texts=unique_texts)
 
-    def run_pipeline_once() -> tuple[dict, dict, float]:
+    def _stage_stats(prev_max_stage: int = -1) -> dict:
+        """Completed-stage shuffle totals from the UI REST API for stages
+        newer than ``prev_max_stage`` (the honest spill/shuffle evidence
+        the 100-TB story needs; {} if the UI is unreachable)."""
+        try:
+            import urllib.request
+
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages?status=complete", timeout=10
+            ) as r:
+                stages = json.load(r)
+            sel = [s for s in stages if s.get("stageId", -1) > prev_max_stage]
+            return {
+                "max_stage_id": max((s["stageId"] for s in stages), default=-1),
+                "stages": len(sel),
+                "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in sel),
+                "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in sel),
+                "peak_stage_shuffle_write": max(
+                    (s.get("shuffleWriteBytes", 0) for s in sel), default=0),
+                "disk_spill_bytes": sum(s.get("diskBytesSpilled", 0) for s in sel),
+                "memory_spill_bytes": sum(s.get("memoryBytesSpilled", 0) for s in sel),
+            }
+        except Exception:
+            return {}
+
+    def run_pipeline_once(transcripts=transcripts) -> tuple[dict, dict, float]:
         """One full pipeline pass; caches are dropped afterwards so
         every rep measures real work."""
         t = {}
@@ -168,6 +199,39 @@ def main() -> None:
             "target": 0.8,
         }
 
+    # ------------------------------------------------------------------
+    # sf1.0 memory-pressure block (r3 verdict item #3): 10M turns — 10x
+    # the headline run, past the page-cache comfort zone — once uniform
+    # and once with one template's concepts ~100x hotter (skew evidence
+    # for the facts/graph shuffles; the canon CC input is the ontology
+    # alias-edge list, which turn skew cannot touch).  Per-stage seconds
+    # plus REST shuffle/spill bytes for both runs.
+    # ------------------------------------------------------------------
+    sf1 = None
+    if os.environ.get("KGNORM_BENCH_SF1", "1") != "0" and cpus >= 16:
+        sf1_turns = int(os.environ.get("KGNORM_SF1_TURNS") or 10_000_000)
+        mark = _stage_stats().get("max_stage_id", -1)
+        t_u, rows_u, e2e_u = run_pipeline_once(
+            synth.synth_transcripts(spark, sf1_turns))
+        shuf_u = _stage_stats(mark)
+        mark = shuf_u.get("max_stage_id", mark)
+        t_s, rows_s, e2e_s = run_pipeline_once(
+            synth.synth_transcripts(spark, sf1_turns, hot_frac=0.9))
+        shuf_s = _stage_stats(mark)
+        shuf_u.pop("max_stage_id", None)
+        shuf_s.pop("max_stage_id", None)
+        sf1 = {
+            "turns": sf1_turns,
+            "uniform": {"e2e_sec": e2e_u, "stage_sec": t_u, "rows": rows_u,
+                        "turns_per_sec": round(sf1_turns / e2e_u, 1),
+                        "shuffle": shuf_u},
+            "skewed_hot100x": {"e2e_sec": e2e_s, "stage_sec": t_s, "rows": rows_s,
+                               "turns_per_sec": round(sf1_turns / e2e_s, 1),
+                               "shuffle": shuf_s},
+            "skew_slowdown": round(e2e_s / e2e_u, 3),
+            "target_max_slowdown": 1.5,
+        }
+
     print(json.dumps({
         "metric": "kg_pipeline_e2e",
         "value": e2e,
@@ -182,6 +246,7 @@ def main() -> None:
         "e2e_per_rep": rep_e2e,
         "stage_sec_per_rep": rep_timings,
         "scaling": scaling,
+        "sf1": sf1,
     }))
     spark.stop()
 

@@ -59,6 +59,8 @@ def synth_transcripts(
     turns_per_conv: int = 8,
     data_dir: str | None = None,
     unique_texts: bool = False,
+    hot_frac: float = 0.0,
+    hot_template: int = 0,
 ) -> DataFrame:
     """Distributed deterministic transcripts of ``n_turns`` rows.
 
@@ -72,11 +74,20 @@ def synth_transcripts(
     memo-off benchmark variant.  The marker contains no dictionary terms
     or context triggers, so per-template extraction semantics are
     unchanged except for offsets-past-end never matching.
+
+    ``hot_frac=f`` overrides the text of fraction ``f`` of rows (spread
+    evenly by ``id % 1000``) with template ``hot_template`` — the
+    skewed-concept benchmark variant: at f=0.9 the hot template's
+    concepts appear in ~91% of turns vs ~1% for each other template,
+    i.e. ~100x hotter fact/graph keys on the same row count.
     """
     templates = note_templates(data_dir)
     tarr = F.array(*[F.lit(t) for t in templates])
     roles = F.array(F.lit("user"), F.lit("assistant"))
     text = F.element_at(tarr, (F.pmod(F.col("id"), F.lit(len(templates))) + 1).cast("int"))
+    if hot_frac:
+        is_hot = F.pmod(F.col("id"), F.lit(1000)) < F.lit(int(round(hot_frac * 1000)))
+        text = F.when(is_hot, F.element_at(tarr, F.lit(hot_template + 1))).otherwise(text)
     if unique_texts:
         text = F.concat(text, F.lit(" Ref C"), F.col("id").cast("string"), F.lit("."))
     return (
