@@ -255,6 +255,24 @@ def _q_kg_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_facts_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE upsert (kgnorm.facts.merge_facts): facts built
+    from turns 0-2 then upserted with the later turns' evidences must
+    equal the full batch build — shares kg_facts' full-batch oracle, the
+    strongest possible check of the append-only MERGE path."""
+    s = _stages(spark, sf_dir)
+    fi = facts_mod.mention_facts_input(s["mentions"], s["top"])
+    old = fi.filter(F.col("turn_idx") < 3)
+    new = fi.filter(F.col("turn_idx") >= 3)
+    merged = facts_mod.merge_facts(facts_mod.build_facts(old), new)
+    return merged.select(
+        "conv_id", "omop_concept_id", "assertion", "temporality", "experiencer",
+        "concept_name", "domain",
+        F.round("confidence", 6).alias("confidence6"),
+        "evidence_count", "first_turn_idx", "first_start_offset",
+    )
+
+
 def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.build_triples(_stages(spark, sf_dir)["facts"]).select(
         "conv_id", "subj", "pred", "obj", "omop_concept_id", "assertion"
@@ -4616,6 +4634,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ~50 entries per round): queries whose code changed this
         # round first, then the queries whose latest driver row is
         # oldest (r2-era), then the r3-checked remainder.
+        "facts_incremental": _q_facts_incremental,
         "quality_trend": _q_quality_trend,
         "search_keyword": _q_search_keyword,
         "search_hybrid": _q_search_hybrid,
@@ -4770,6 +4789,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": _oracle_kg_mentions(),
         "kg_candidates": _oracle_kg_candidates(),
         "kg_facts": _oracle_kg_facts(),
+        # the incremental MERGE must reproduce the FULL batch build —
+        # deliberately the same oracle as kg_facts
+        "facts_incremental": _oracle_kg_facts(),
         "kg_triples": _oracle_kg_triples(),
         "kg_domain_counts": _oracle_kg_domain_counts(),
         "kg_nodes": _oracle_kg_nodes(),

@@ -179,6 +179,10 @@ def rolling_trend(per_doc: DataFrame, value_col: str, window_size: int = 10) -> 
     Exact (byte-identical to the single-window plan) for integer
     metrics — the driver query's ``mentions_extracted``; float metrics
     could differ in summation order below the 6-dp rounding.
+
+    Row cost is ``window_size`` × input (the explode) — right for the
+    dashboard's small windows (default 10); for window_size ≫ 100
+    switch to a prefix-sum formulation over the same rn ordering.
     """
     d = (
         per_doc.select("conv_id", F.col(value_col).alias("value"))

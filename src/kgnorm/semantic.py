@@ -56,13 +56,26 @@ def hash_embed(text: str, dim: int = EMB_DIM) -> list[float]:
     return [x / norm for x in buckets] if norm > 0 else buckets
 
 
-def concept_embeddings(spark: SparkSession, concepts: list[dict], dim: int = EMB_DIM) -> DataFrame:
+def batch_hash_embed(texts: list[str], dim: int = EMB_DIM) -> list[list[float]]:
+    """Batched stand-in matching the GPU-encoder contract (same shape a
+    sentence-transformers ``model.encode(list[str])`` call has): one
+    call per Arrow batch, one vector per input text."""
+    return [hash_embed(t, dim) for t in texts]
+
+
+def concept_embeddings(spark: SparkSession, concepts: list[dict], dim: int = EMB_DIM,
+                       encode_fn=None) -> DataFrame:
     """Concept-embedding dimension table (driver-side build, like the
-    reference's vocabulary-load-time _build_embeddings)."""
+    reference's vocabulary-load-time _build_embeddings).
+
+    ``encode_fn(texts: list[str]) -> list[list[float]]`` swaps in a real
+    batched encoder; default is the deterministic trigram stand-in."""
+    fn = encode_fn or (lambda ts: batch_hash_embed(ts, dim))
+    embs = fn([c["concept_name"] for c in concepts])
     rows = [
         (c["concept_id"], c["concept_name"], c.get("domain_id"),
-         c.get("vocabulary_id"), hash_embed(c["concept_name"], dim))
-        for c in concepts
+         c.get("vocabulary_id"), e)
+        for c, e in zip(concepts, embs)
     ]
     schema = T.StructType([
         T.StructField("concept_id", T.LongType()),
@@ -72,6 +85,21 @@ def concept_embeddings(spark: SparkSession, concepts: list[dict], dim: int = EMB
         T.StructField("emb", T.ArrayType(T.DoubleType())),
     ])
     return spark.createDataFrame(rows, schema)
+
+
+def _encode_kernel(fn, dim: int = EMB_DIM):
+    """Series→Series kernel issuing exactly ONE ``fn(list[str])`` call
+    per Arrow batch (the GPU-encoder contract, same shape as
+    kgnorm.ner._batch_kernel); None texts yield the zero vector without
+    reaching the model."""
+
+    def _encode(col: pd.Series) -> pd.Series:
+        texts = [t for t in col if t is not None]
+        vecs = iter(fn(texts)) if texts else iter(())
+        zero = [0.0] * dim
+        return col.map(lambda t: next(vecs) if t is not None else zero)
+
+    return _encode
 
 
 def _dot(a, b):
@@ -84,16 +112,21 @@ def semantic_candidates(
     top_k: int = SEMANTIC_TOP_K,
     threshold: float = SEMANTIC_THRESHOLD,
     dim: int = EMB_DIM,
+    encode_fn=None,
 ) -> DataFrame:
     """Semantic tier: term → top-k concepts by cosine ≥ threshold.
 
     Output: (term, concept_id, concept_name, vocabulary_id, domain_id,
     score, method='semantic', rank).  Score = cosine × 0.85, rounded to
-    6 dp for engine-portable ranking."""
-    def _encode(col: pd.Series) -> pd.Series:
-        return col.map(lambda t: hash_embed(t if t is not None else "", dim))
+    6 dp for engine-portable ranking.
 
-    encode = F.pandas_udf(_encode, T.ArrayType(T.DoubleType()))
+    ``encode_fn(texts: list[str]) -> list[list[float]]`` is the batched
+    encoder hook (README "Model assets"): a real sentence-transformer
+    gets ONE ``encode`` call per Arrow batch — loaded once per executor
+    process — with the stand-in as default.  None texts embed as the
+    zero vector without reaching the model."""
+    fn = encode_fn or (lambda ts: batch_hash_embed(ts, dim))
+    encode = F.pandas_udf(_encode_kernel(fn, dim), T.ArrayType(T.DoubleType()))
 
     tq = terms.select("term", encode(F.col("term")).alias("q_emb"))
     # both sides hash-embedded are unit-norm (or zero); guard zero norms

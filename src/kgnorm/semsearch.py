@@ -306,12 +306,9 @@ def fact_search(
     the fact rows."""
     from kgnorm import semantic
 
-    import pandas as pd  # noqa: F401 — pandas_udf type resolution
-
-    def _encode(col):
-        return col.map(lambda t: semantic.hash_embed(t if t is not None else ""))
-
-    encode = F.pandas_udf(_encode, T.ArrayType(T.DoubleType()))
+    encode = F.pandas_udf(
+        semantic._encode_kernel(semantic.batch_hash_embed),
+        T.ArrayType(T.DoubleType()))
     names = facts.select(F.col("concept_name").alias("name")).distinct() \
         .withColumn("emb", encode(F.col("name")))
     qdf = spark.createDataFrame([(q,) for q in queries], ["query"]) \

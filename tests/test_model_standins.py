@@ -36,6 +36,27 @@ def test_fake_ner_batch_stability():
     assert a[1] == []
 
 
+def test_batched_encoder_contract():
+    """The encode kernel issues ONE encode_fn call per Arrow batch with
+    every non-null term, mirroring the NER batching contract."""
+    import pandas as pd
+
+    calls = []
+
+    def counting_encode(texts):
+        calls.append(list(texts))
+        return semantic.batch_hash_embed(texts)
+
+    col = pd.Series(["metformin", None, "aspirin"])
+    out = semantic._encode_kernel(counting_encode)(col)
+    assert calls == [["metformin", "aspirin"]]
+    assert out[0] == semantic.hash_embed("metformin")
+    assert out[1] == [0.0] * semantic.EMB_DIM  # None short-circuits
+    assert out[2] == semantic.hash_embed("aspirin")
+    assert semantic.batch_hash_embed(["a", "b"]) == [
+        semantic.hash_embed("a"), semantic.hash_embed("b")]
+
+
 def test_hash_embed_pinned():
     v = semantic.hash_embed("Metformin")
     assert len(v) == semantic.EMB_DIM

@@ -26,6 +26,10 @@ def run_once(cpus: int, turns: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["KGNORM_BENCH_TURNS"] = str(turns)
+    # the subprocess pairs measure the MAIN pipeline only — the in-bench
+    # scaling and sf1.0 blocks would triple each leg's runtime
+    env.setdefault("KGNORM_BENCH_SCALING", "0")
+    env.setdefault("KGNORM_BENCH_SF1", "0")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, timeout=3600,
