@@ -109,5 +109,20 @@ def extract_mentions_df(
                     out["omop_concept_id"].append(m.omop_concept_id)
             yield pd.DataFrame(out, columns=_MENTION_COLS)
 
-    partitioned = transcripts.select("conv_id", "turn_idx", "text").repartition(n, "conv_id")
+    sel = transcripts.select("conv_id", "turn_idx", "text")
+    if num_partitions:
+        # explicit cap (bench scaling legs, job --partitions): strict
+        # hash repartition on conv_id
+        partitioned = sel.repartition(num_partitions, "conv_id")
+    elif sel.isStreaming:
+        partitioned = sel.repartition(n, "conv_id")
+    else:
+        # default batch path: REBALANCE(conv_id) keeps conversations
+        # co-located (map-side combine stays total downstream) but,
+        # unlike a strict repartition, licenses AQE to SPLIT a
+        # pathologically hot conversation across tasks
+        # (optimizeSkewsInRebalancePartitions) — harmless here because
+        # extraction is stateless per turn and the facts groupBy
+        # re-shuffles on the full fact key anyway
+        partitioned = sel.hint("rebalance", "conv_id")
     return partitioned.mapInPandas(extract_batch, schema=schemas.MENTIONS)
