@@ -184,9 +184,14 @@ def rolling_trend(per_doc: DataFrame, value_col: str, window_size: int = 10) -> 
     dashboard's small windows (default 10); for window_size ≫ 100
     switch to a prefix-sum formulation over the same rn ordering.
     """
+    # EXPLICIT partition count: a bare repartitionByRange would let AQE
+    # coalesce the exchange, and the two consumers below (counts,
+    # row-number) must observe the identical pid→rows mapping even when
+    # exchange reuse doesn't kick in
+    n_parts = int(per_doc.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     d = (
         per_doc.select("conv_id", F.col(value_col).alias("value"))
-        .repartitionByRange("conv_id")
+        .repartitionByRange(n_parts, "conv_id")
         .withColumn("pid", F.spark_partition_id())
     )
     counts = d.groupBy("pid").agg(F.count(F.lit(1)).alias("_c"))

@@ -98,12 +98,14 @@ def _canon(df):
     )
 
 
-def test_merge_equals_full_rerun(spark):
+@pytest.mark.parametrize("split", [1, 3, 5, 7])
+def test_merge_equals_full_rerun(spark, split):
     """Stream-appended turns: merge(build(old), new) == build(all) on
-    every column (confidence compared at the universal 6-dp rounding)."""
+    every column (confidence compared at the universal 6-dp rounding),
+    at several split points — near-empty old, balanced, near-empty new."""
     all_inputs = _many_inputs(spark)
-    old = all_inputs.filter(F.col("turn_idx") < 5)
-    new = all_inputs.filter(F.col("turn_idx") >= 5)
+    old = all_inputs.filter(F.col("turn_idx") < split)
+    new = all_inputs.filter(F.col("turn_idx") >= split)
     merged = facts_mod.merge_facts(facts_mod.build_facts(old), new)
     assert _canon(merged) == _canon(facts_mod.build_facts(all_inputs))
 

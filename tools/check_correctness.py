@@ -165,6 +165,7 @@ def main() -> None:
         else:
             failures += 1
     spark.stop()
+    print(f"SUMMARY: {len(timings) - failures}/{len(timings)} green, {failures} failures")
     out = os.environ.get("KGNORM_TIMINGS_OUT", os.path.join(REPO, "TIMINGS.json"))
     if out and timings:
         with open(out, "w") as fh:
