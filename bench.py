@@ -138,6 +138,15 @@ def main() -> None:
     reps = int(os.environ.get("KGNORM_BENCH_REPS") or 3)
     rep_timings, rep_e2e = [], []
     rows = {}
+    warmup_sec = None
+    if os.environ.get("KGNORM_BENCH_WARMUP", "1") != "0":
+        # one UNTIMED pass first: r3 data showed rep 1 carries 3-4x of
+        # JVM/codegen warm-up + first-touch page faults, which is noise
+        # for the hours-long-job regime the median is meant to stand for
+        # (the r3 verdict: "the steady-state number is the
+        # representative one").  The cold number still lands in the
+        # JSON as warmup_sec so nothing hides.
+        _, _, warmup_sec = run_pipeline_once()
     for _ in range(reps):
         t, rows, e2e_one = run_pipeline_once()
         rep_timings.append(t)
@@ -243,6 +252,7 @@ def main() -> None:
         "turns_per_sec": round(n_turns / e2e, 1),
         "rows": {**rows, "flagship_triples": flagship_rows},
         "reps": reps,
+        "warmup_sec": warmup_sec,
         "e2e_per_rep": rep_e2e,
         "stage_sec_per_rep": rep_timings,
         "scaling": scaling,
