@@ -241,6 +241,39 @@ def main() -> None:
             "target_max_slowdown": 1.5,
         }
 
+        # incremental-append evidence: appending the LAST turn of every
+        # conversation (1/8 of rows) via facts.merge_facts must cost a
+        # small fraction of the full extract→link→facts rebuild — the
+        # append-only 10^12-turn story in one number.
+        if os.environ.get("KGNORM_BENCH_INCR", "1") != "0":
+            t_sf1 = synth.synth_transcripts(spark, sf1_turns)
+
+            def fact_inputs_for(tr):
+                m = extract_mentions_df(tr, dictionary, num_partitions=cpus * 2)
+                c = link.link_mentions(
+                    m, concepts, synonyms,
+                    assume_all_direct=ontology.all_entries_linked(ont))
+                return facts_mod.mention_facts_input(m, link.top_candidates(c))
+
+            # stored facts table analogue: built once, untimed, cached
+            old_facts = facts_mod.build_facts(
+                fact_inputs_for(t_sf1.filter(F.col("turn_idx") < 7))).persist()
+            n_old = old_facts.count()
+            t0 = time.time()
+            n_merged = facts_mod.merge_facts(
+                old_facts, fact_inputs_for(t_sf1.filter(F.col("turn_idx") >= 7))
+            ).count()
+            incr_sec = round(time.time() - t0, 3)
+            old_facts.unpersist()
+            full_sec = round(t_u["extract"] + t_u["link"] + t_u["facts"], 3)
+            sf1["incremental_append"] = {
+                "delta_turns": sf1_turns // 8,
+                "incr_sec": incr_sec,
+                "full_extract_link_facts_sec": full_sec,
+                "cost_ratio": round(incr_sec / full_sec, 3),
+                "facts_before": n_old, "facts_after": n_merged,
+            }
+
     print(json.dumps({
         "metric": "kg_pipeline_e2e",
         "value": e2e,
