@@ -1493,6 +1493,17 @@ def _q_summary_critical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarizer.critical_findings(facts)
 
 
+def _q_summary_critical_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference shared cap: ONE critical list — conditions first, then
+    critical lab values — capped at 5 combined (clinical_summarizer.py:658)."""
+    from kgnorm import summarizer
+
+    s = _stages(spark, sf_dir)
+    cv = values.extract_values(s["transcripts"]).select(
+        "conv_id", F.col("name").alias("label"), "value", "unit")
+    return summarizer.critical_combined(s["facts"], cv)
+
+
 def _q_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Problem-oriented per-patient rollup (clinical_summarizer.py:756-792)."""
     from kgnorm import summarizer
@@ -3586,6 +3597,46 @@ SELECT conv_id, 'Critical condition: ' || concept_name AS finding
 FROM crit WHERE rk <= 5"""
 
 
+def _oracle_summary_critical_combined() -> str:
+    from kgnorm.summarizer import CRITICAL_LAB_RANGES, CRITICAL_TERMS
+    cond = " OR ".join(f"lower(concept_name) LIKE '%{t}%'" for t in CRITICAL_TERMS)
+    lab_vals = ", ".join(
+        f"('{k}', {lo}, {hi})" for k, (lo, hi) in CRITICAL_LAB_RANGES.items())
+    # one row PER MATCHING LAB KEY (mirrors the per-key union in
+    # summarizer.critical_labs, where a label containing two tracked lab
+    # names emits twice)
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()},
+cv AS (
+{_oracle_clinical_values()}
+),
+labkeys(lab, lo, hi) AS (VALUES {lab_vals}),
+crit AS (
+  SELECT conv_id, 'Critical condition: ' || concept_name AS finding, 0 AS leg,
+         row_number() OVER (PARTITION BY conv_id
+           ORDER BY first_turn_idx, first_start_offset, concept_name) AS rk
+  FROM facts WHERE domain = 'condition' AND ({cond})
+),
+critlabs AS (
+  SELECT cv.conv_id,
+         'Critical value: ' || cv.name || ' = ' || cast(cv.value AS varchar) AS finding,
+         1 AS leg
+  FROM cv JOIN labkeys k
+    ON lower(cv.name) LIKE '%' || k.lab || '%'
+   AND (cv.value < k.lo OR cv.value > k.hi)
+  WHERE cv.value IS NOT NULL
+),
+u AS (
+  SELECT conv_id, finding, leg FROM crit WHERE rk <= 5
+  UNION ALL SELECT conv_id, finding, leg FROM critlabs
+),
+r AS (
+  SELECT conv_id, finding,
+         row_number() OVER (PARTITION BY conv_id ORDER BY leg, finding) AS rk
+  FROM u
+)
+SELECT conv_id, finding FROM r WHERE rk <= 5"""
+
+
 def _oracle_summary_rollup() -> str:
     return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()},
 {_prio_cte()}, {_problems_cte()},
@@ -4635,6 +4686,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # round first, then the queries whose latest driver row is
         # oldest (r2-era), then the r3-checked remainder.
         "facts_incremental": _q_facts_incremental,
+        "summary_critical_combined": _q_summary_critical_combined,
         "quality_trend": _q_quality_trend,
         "search_keyword": _q_search_keyword,
         "search_hybrid": _q_search_hybrid,
@@ -4763,6 +4815,7 @@ def oracle_sql() -> dict[str, str]:
         "summary_one_liner": _oracle_summary_one_liner(),
         "summary_medications": _oracle_summary_medications(),
         "summary_critical": _oracle_summary_critical(),
+        "summary_critical_combined": _oracle_summary_critical_combined(),
         "summary_rollup": _oracle_summary_rollup(),
         "cdi_queries": _oracle_cdi_queries(),
         "cdi_batch": _oracle_cdi_batch(),
