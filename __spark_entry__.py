@@ -1493,6 +1493,16 @@ def _q_summary_critical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarizer.critical_findings(facts)
 
 
+def _q_stage_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-bucket lineage/metrics rows over the mentions
+    stage (north rule: per-partition lineage + metrics; the logical
+    variant is stable across reruns/partitionings so the oracle can
+    replicate it — kgnorm.metrics.logical_lineage)."""
+    m = _stages(spark, sf_dir)["mentions"]
+    bucket = F.substring(F.col("conv_id"), 2, 16).cast("long")
+    return metrics.logical_lineage(m, "mentions", bucket, n_buckets=64)
+
+
 def _q_summary_critical_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference shared cap: ONE critical list — conditions first, then
     critical lab values — capped at 5 combined (clinical_summarizer.py:658)."""
@@ -3597,6 +3607,18 @@ SELECT conv_id, 'Critical condition: ' || concept_name AS finding
 FROM crit WHERE rk <= 5"""
 
 
+def _oracle_stage_lineage() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()},
+m AS (SELECT t.conv_id, t.turn_idx FROM turns t JOIN exp e USING (tmpl))
+SELECT 'mentions' AS stage,
+       CAST(CAST(substring(conv_id, 2) AS BIGINT) % 64 AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS "rows",
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS convs,
+       min(turn_idx) AS min_turn_idx,
+       max(turn_idx) AS max_turn_idx
+FROM m GROUP BY 1, 2"""
+
+
 def _oracle_summary_critical_combined() -> str:
     from kgnorm.summarizer import CRITICAL_LAB_RANGES, CRITICAL_TERMS
     cond = " OR ".join(f"lower(concept_name) LIKE '%{t}%'" for t in CRITICAL_TERMS)
@@ -4687,6 +4709,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # oldest (r2-era), then the r3-checked remainder.
         "facts_incremental": _q_facts_incremental,
         "summary_critical_combined": _q_summary_critical_combined,
+        "stage_lineage": _q_stage_lineage,
         "quality_trend": _q_quality_trend,
         "search_keyword": _q_search_keyword,
         "search_hybrid": _q_search_hybrid,
@@ -4816,6 +4839,7 @@ def oracle_sql() -> dict[str, str]:
         "summary_medications": _oracle_summary_medications(),
         "summary_critical": _oracle_summary_critical(),
         "summary_critical_combined": _oracle_summary_critical_combined(),
+        "stage_lineage": _oracle_stage_lineage(),
         "summary_rollup": _oracle_summary_rollup(),
         "cdi_queries": _oracle_cdi_queries(),
         "cdi_batch": _oracle_cdi_batch(),

@@ -45,6 +45,46 @@ def stage_metrics(df: DataFrame, stage: str) -> DataFrame:
     )
 
 
+def logical_lineage(df: DataFrame, stage: str, bucket,
+                    n_buckets: int = 64) -> DataFrame:
+    """Deterministic per-bucket lineage/metrics rows.
+
+    ``stage_metrics`` describes the PHYSICAL partitions of one
+    concrete run (`spark_partition_id`), which is the right lineage for
+    debugging that run's skew — but it is not stable across reruns,
+    AQE decisions, or cluster sizes.  This variant buckets on a
+    DETERMINISTIC expression over the data itself, so a resumed or
+    re-partitioned run produces byte-identical lineage rows and
+    coverage can be verified independently of physical layout
+    (the north rule's per-partition lineage + metrics contract).
+
+    ``bucket`` is a Column expression (e.g.
+    ``F.pmod(F.xxhash64("conv_id"), F.lit(64))`` in production; any
+    deterministic integer expression works and oracle replication just
+    mirrors it).
+    """
+    cols = df.columns
+    turn = F.col("turn_idx") if "turn_idx" in cols else F.lit(None).cast("int")
+    return (
+        df.select(
+            F.pmod(bucket, F.lit(n_buckets)).cast("int").alias("bucket"),
+            F.col("conv_id").alias("conv_id"),
+            turn.alias("turn_idx"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count_distinct("conv_id").alias("convs"),
+            F.min("turn_idx").alias("min_turn_idx"),
+            F.max("turn_idx").alias("max_turn_idx"),
+        )
+        .select(
+            F.lit(stage).alias("stage"),
+            "bucket", "rows", "convs", "min_turn_idx", "max_turn_idx",
+        )
+    )
+
+
 def domain_counts(facts: DataFrame) -> DataFrame:
     """Graph-stats analogue: fact counts per conversation and domain."""
     return facts.groupBy("conv_id", "domain").agg(F.count(F.lit(1)).alias("n_facts"))

@@ -144,3 +144,16 @@ def test_aggregated_quality_no_per_doc_global_sort(spark):
     for i in widx:
         below = "\n".join(ln[i:i + 6])
         assert "Aggregate" in below
+
+
+def test_logical_lineage_stable_across_partitionings(spark, mentions):
+    """The logical-bucket lineage must be byte-identical however the
+    physical layout changes (the resumability contract stage_metrics'
+    spark_partition_id cannot give)."""
+    bucket = F.pmod(F.hash("conv_id"), F.lit(8))
+    a = metrics.logical_lineage(mentions, "m", bucket, 8).collect()
+    b = metrics.logical_lineage(
+        mentions.repartition(3, "mention_text"), "m", bucket, 8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert sum(r.rows for r in a) == mentions.count()
+    assert all(r.stage == "m" and 0 <= r.bucket < 8 for r in a)
