@@ -18,6 +18,12 @@ for the per-window mention-rate metric, the only stateful operator.
 
 from __future__ import annotations
 
+import json
+import math
+from typing import Iterator
+
+import pandas as pd
+
 from pyspark.broadcast import Broadcast
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -48,6 +54,91 @@ def turn_rate(transcripts: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "1 minute"))
         .agg(F.count(F.lit(1)).alias("turns"))
         .select(F.col("window.start").alias("window_start"), "turns")
+    )
+
+
+STATEFUL_FACTS_SCHEMA = (
+    "conv_id string, omop_concept_id long, assertion string, temporality string,"
+    " experiencer string, concept_name string, domain string, confidence double,"
+    " evidence_count long, first_turn_idx int, first_start_offset int"
+)
+_FACT_STATE_SCHEMA = "state_json string"
+
+
+def _stateful_facts_fn(key, pdfs: Iterator[pd.DataFrame], state):
+    """Per-conversation fact accumulator (see :func:`stateful_facts`).
+
+    State = JSON dict fact_key -> [log1m_sum, evidence_count,
+    [first_turn, first_start, first_end], concept_name, domain] —
+    exactly the information the batch ``build_facts`` aggregation
+    carries per group, so every emission equals what a batch rerun over
+    the evidence-so-far would produce (confidence up to summation
+    order, absorbed by the 6-dp consumer rounding).
+    """
+    conv_id = key[0]
+    st = json.loads(state.get[0]) if state.exists else {}
+    touched = set()
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            k = json.dumps([int(r.omop_concept_id), r.assertion,
+                            r.temporality, r.experiencer])
+            ordv = [int(r.turn_idx), int(r.start_offset), int(r.end_offset)]
+            log1m = math.log(max(1.0 - float(r.confidence), 1e-15))
+            if k in st:
+                s = st[k]
+                s[0] += log1m
+                s[1] += 1
+                if ordv < s[2]:
+                    s[2], s[3], s[4] = ordv, r.concept_name, r.domain_id
+            else:
+                st[k] = [log1m, 1, ordv, r.concept_name, r.domain_id]
+            touched.add(k)
+    state.update((json.dumps(st),))
+    cols = [c.strip().split(" ")[0] for c in STATEFUL_FACTS_SCHEMA.split(",")]
+    out: dict = {c: [] for c in cols}
+    for k in sorted(touched):
+        cid, assertion, temporality, experiencer = json.loads(k)
+        s = st[k]
+        out["conv_id"].append(conv_id)
+        out["omop_concept_id"].append(cid)
+        out["assertion"].append(assertion)
+        out["temporality"].append(temporality)
+        out["experiencer"].append(experiencer)
+        out["concept_name"].append(s[3])
+        out["domain"].append(s[4])
+        out["confidence"].append(1.0 - math.exp(s[0]))
+        out["evidence_count"].append(s[1])
+        out["first_turn_idx"].append(s[2][0])
+        out["first_start_offset"].append(s[2][1])
+    yield pd.DataFrame(out, columns=cols)
+
+
+def stateful_facts(fact_inputs: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: incremental noisy-OR fact
+    canonicalization via ``applyInPandasWithState``.
+
+    The batch path re-aggregates with ``facts.build_facts`` /
+    ``facts.merge_facts``; this operator instead keeps the per-fact
+    noisy-OR accumulator AS STREAMING STATE keyed by conv_id, folds
+    each micro-batch's FactInput rows in, and emits the UPDATED
+    canonical fact rows (update output mode) — a continuously-current
+    facts view with per-batch latency, no full-table rescan.  State per
+    conversation is bounded by its distinct fact keys (ontology-bounded
+    x ~45 context combos), so a 10^12-turn stream holds state
+    proportional to distinct (conv, concept) pairs only.
+
+    For each fact key the LAST emission (max evidence_count) equals the
+    batch ``build_facts`` row over all evidence seen, confidence up to
+    float summation order (6-dp rounding absorbs it).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return fact_inputs.groupBy("conv_id").applyInPandasWithState(
+        _stateful_facts_fn,
+        outputStructType=STATEFUL_FACTS_SCHEMA,
+        stateStructType=_FACT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -59,3 +59,67 @@ def test_turn_rate_windowing(spark, tmp_path):
     # golden fixture: 10 turns one minute apart → one row per 1-min window
     assert sum(r.turns for r in rows) == 10
     assert all(r.turns == 1 for r in rows)
+
+
+def test_stateful_facts_converges_to_batch(spark, tmp_path):
+    """applyInPandasWithState noisy-OR accumulator: for every fact key
+    the LAST emission (max evidence_count) must equal the batch
+    build_facts row over all streamed evidence (confidence at 6 dp)."""
+    from kgnorm import facts as facts_mod
+
+    in_dir = str(tmp_path / "fi")
+    os.makedirs(in_dir)
+    schema = (
+        "conv_id string, turn_idx int, start_offset int, end_offset int,"
+        " assertion string, temporality string, experiencer string,"
+        " confidence double, omop_concept_id long, concept_name string,"
+        " domain_id string"
+    )
+    rows = []
+    for c in range(4):
+        for t in range(6):
+            rows.append((
+                f"C{c}", t, (t * 3) % 20, (t * 3) % 20 + 4,
+                "present" if (c + t) % 3 else "absent", "current", "patient",
+                round(0.35 + 0.08 * ((c + t) % 6), 2),
+                (c + t) % 3 + 1, f"Concept {(c + t) % 3 + 1}", "condition",
+            ))
+    all_inputs = spark.createDataFrame(rows, schema)
+    # two files → two micro-batches with maxFilesPerTrigger=1, so most
+    # fact keys accumulate evidence ACROSS batches
+    all_inputs.filter(F.col("turn_idx") < 3).coalesce(1).write.mode("append").parquet(in_dir)
+    all_inputs.filter(F.col("turn_idx") >= 3).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming.stateful_facts(stream)
+        .writeStream.format("memory").queryName("stateful_facts_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.sql("select * from stateful_facts_t").collect()
+    key = lambda r: (r.conv_id, r.omop_concept_id, r.assertion,
+                     r.temporality, r.experiencer)
+    last = {}
+    for r in emitted:
+        if key(r) not in last or r.evidence_count > last[key(r)].evidence_count:
+            last[key(r)] = r
+    expected = {key(r): r for r in facts_mod.build_facts(all_inputs).collect()}
+    assert set(last) == set(expected)
+    # keys split across micro-batches must show progressive emissions
+    assert len(emitted) > len(expected)
+    for k, r in last.items():
+        e = expected[k]
+        assert r.evidence_count == e.evidence_count, k
+        assert round(r.confidence, 6) == round(e.confidence, 6), k
+        assert r.concept_name == e.concept_name and r.domain == e.domain, k
+        assert r.first_turn_idx == e.first_turn_idx, k
+        assert r.first_start_offset == e.first_start_offset, k
