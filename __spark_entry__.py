@@ -1924,6 +1924,63 @@ def _q_athena_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_DONE: set = set()
+_STATEFUL_DONE: dict = {}
+
+
+def _q_stream_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (kgnorm/streaming.py
+    stateful_facts, applyInPandasWithState update mode): fact inputs
+    streamed in two micro-batches; the LAST emission per fact key must
+    equal the batch facts table — shares kg_facts' full-batch oracle."""
+    import shutil
+
+    from kgnorm import streaming
+
+    key = (spark.sparkContext.applicationId, _sf_tag(sf_dir))
+    if key not in _STATEFUL_DONE:
+        s = _stages(spark, sf_dir)
+        fi = facts_mod.mention_facts_input(s["mentions"], s["top"])
+        base = os.path.join(
+            tempfile.gettempdir(), f"kgnorm_sfacts_{_sf_tag(sf_dir)}_{os.getpid()}")
+        shutil.rmtree(base, ignore_errors=True)
+        in_dir = os.path.join(base, "in")
+        # two files -> two micro-batches, so most keys accumulate state
+        # ACROSS batches (maxFilesPerTrigger=1)
+        fi.filter(F.col("turn_idx") < 3).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        fi.filter(F.col("turn_idx") >= 3).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        fi_schema = (
+            "conv_id string, turn_idx int, start_offset int, end_offset int,"
+            " omop_concept_id long, concept_name string, domain_id string,"
+            " assertion string, temporality string, experiencer string,"
+            " confidence double"
+        )
+        stream = (spark.readStream.schema(fi_schema)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        table = f"stream_facts_{abs(hash(key)) % (1 << 30)}"
+        q = (streaming.stateful_facts(stream)
+             .writeStream.format("memory").queryName(table)
+             .outputMode("update")
+             .option("checkpointLocation", os.path.join(base, "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        _STATEFUL_DONE[key] = table
+    emitted = spark.table(_STATEFUL_DONE[key])
+    w = Window.partitionBy(
+        "conv_id", "omop_concept_id", "assertion", "temporality", "experiencer"
+    ).orderBy(F.desc("evidence_count"))
+    return (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "conv_id", "omop_concept_id", "assertion", "temporality",
+            "experiencer", "concept_name", "domain",
+            F.round("confidence", 6).alias("confidence6"),
+            "evidence_count", "first_turn_idx", "first_start_offset",
+        )
+    )
 
 
 def _q_stream_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4710,6 +4767,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "facts_incremental": _q_facts_incremental,
         "summary_critical_combined": _q_summary_critical_combined,
         "stage_lineage": _q_stage_lineage,
+        "stream_facts": _q_stream_facts,
         "quality_trend": _q_quality_trend,
         "search_keyword": _q_search_keyword,
         "search_hybrid": _q_search_hybrid,
@@ -4840,6 +4898,9 @@ def oracle_sql() -> dict[str, str]:
         "summary_critical": _oracle_summary_critical(),
         "summary_critical_combined": _oracle_summary_critical_combined(),
         "stage_lineage": _oracle_stage_lineage(),
+        # the stateful streaming accumulator must converge to the FULL
+        # batch facts — deliberately the same oracle as kg_facts
+        "stream_facts": _oracle_kg_facts(),
         "summary_rollup": _oracle_summary_rollup(),
         "cdi_queries": _oracle_cdi_queries(),
         "cdi_batch": _oracle_cdi_batch(),
