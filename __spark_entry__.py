@@ -1493,6 +1493,32 @@ def _q_summary_critical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarizer.critical_findings(facts)
 
 
+def _q_nlp_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered NLP vocabulary build (nlp_vocabulary.py:37-76): standard
+    concepts only, capped to max_concepts by deterministic concept_id
+    order, synonyms joined broadcast — max_concepts=20 so the cap
+    actually bites on the 34-concept fixture (kgnorm.ontology
+    .nlp_dictionary_from_tables is this plan + collect for broadcast)."""
+    ont = _ont()
+    concepts = ontology.concepts_df(spark, ont)
+    synonyms = ontology.synonyms_df(spark, ont)
+    capped = (
+        concepts.filter(F.col("standard_concept").isin("S", "C"))
+        .orderBy("concept_id")
+        .limit(20)
+        .select("concept_id", "domain_id")
+    )
+    return (
+        synonyms.join(F.broadcast(capped), "concept_id")
+        .select(
+            F.lower(F.col("concept_synonym_name")).alias("term"),
+            F.col("concept_synonym_name").alias("synonym"),
+            "domain_id",
+            "concept_id",
+        )
+    )
+
+
 def _q_stage_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-bucket lineage/metrics rows over the mentions
     stage (north rule: per-partition lineage + metrics; the logical
@@ -3664,6 +3690,25 @@ SELECT conv_id, 'Critical condition: ' || concept_name AS finding
 FROM crit WHERE rk <= 5"""
 
 
+def _oracle_nlp_dictionary() -> str:
+    ont = _ont()
+    crows = [(c["concept_id"], c["domain_id"], c.get("standard_concept"))
+             for c in ont.concepts]
+    srows = [(s["concept_id"], s["concept_synonym_name"]) for s in ont.synonyms]
+    return f"""WITH c(concept_id, domain_id, standard_concept) AS (VALUES {_values(crows)}),
+s(concept_id, concept_synonym_name) AS (VALUES {_values(srows)}),
+capped AS (
+  SELECT concept_id, domain_id FROM c
+  WHERE standard_concept IN ('S', 'C')
+  ORDER BY concept_id LIMIT 20
+)
+SELECT lower(s.concept_synonym_name) AS term,
+       s.concept_synonym_name AS synonym,
+       capped.domain_id,
+       CAST(s.concept_id AS BIGINT) AS concept_id
+FROM s JOIN capped USING (concept_id)"""
+
+
 def _oracle_stage_lineage() -> str:
     return f"""WITH {_turns_cte()}, {_exp_cte()},
 m AS (SELECT t.conv_id, t.turn_idx FROM turns t JOIN exp e USING (tmpl))
@@ -4768,6 +4813,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "summary_critical_combined": _q_summary_critical_combined,
         "stage_lineage": _q_stage_lineage,
         "stream_facts": _q_stream_facts,
+        "nlp_dictionary": _q_nlp_dictionary,
         "quality_trend": _q_quality_trend,
         "search_keyword": _q_search_keyword,
         "search_hybrid": _q_search_hybrid,
@@ -4901,6 +4947,7 @@ def oracle_sql() -> dict[str, str]:
         # the stateful streaming accumulator must converge to the FULL
         # batch facts — deliberately the same oracle as kg_facts
         "stream_facts": _oracle_kg_facts(),
+        "nlp_dictionary": _oracle_nlp_dictionary(),
         "summary_rollup": _oracle_summary_rollup(),
         "cdi_queries": _oracle_cdi_queries(),
         "cdi_batch": _oracle_cdi_batch(),
