@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.join(REPO, "src"))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from kgnorm import facts as facts_mod, graph, link, ontology, synth  # noqa: E402
+from kgnorm import canon, facts as facts_mod, graph, link, ontology, synth  # noqa: E402
 from kgnorm.extract import extract_mentions_df  # noqa: E402
 from kgnorm.session import get_spark  # noqa: E402
 
@@ -56,6 +56,7 @@ def main() -> None:
     dictionary = ontology.broadcast_dictionary(spark, ont)
     concepts = ontology.concepts_df(spark, ont)
     synonyms = ontology.synonyms_df(spark, ont)
+    relationships = ontology.relationships_df(spark, ont)
 
     # KGNORM_UNIQUE_TEXTS=1 makes every turn text distinct (defeats the
     # extraction memo — the honest worst case); KGNORM_NO_MEMO=1 disables
@@ -125,10 +126,21 @@ def main() -> None:
         n_edges = graph.build_edges(graph_base, prepared=True).count()
         t["graph"] = round(time.time() - t0, 3)
 
+        # e2e keeps the r1-r3 stage set (extract→link→facts→graph) for
+        # cross-round comparability; canon is timed per-rep but reported
+        # as its own stage only
         e2e_one = round(time.time() - t_total0, 3)
+
+        # canonicalization (north-star stage 4): salted hash-min CC over
+        # the alias edges, mapping applied + facts re-merged + triples
+        t0 = time.time()
+        n_canon_triples = graph.build_triples(
+            canon.canonicalize_facts(facts, relationships)).count()
+        t["canon"] = round(time.time() - t0, 3)
         rows = {"mentions": n_mentions, "candidates": n_candidates,
                 "facts": n_facts, "triples": n_triples,
-                "nodes": n_nodes, "edges": n_edges}
+                "nodes": n_nodes, "edges": n_edges,
+                "canonical_triples": n_canon_triples}
         for df in (graph_base, facts, mentions):
             df.unpersist()
         return t, rows, e2e_one
