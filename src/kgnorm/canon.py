@@ -46,13 +46,36 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     salt: int = DEFAULT_SALT,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """Hash-min label propagation. Returns (concept_id, component_id).
 
     ``edges`` must be the symmetric (undirected) edge list with columns
     ``src, dst``.  Isolated vertices are absent (their component is
     themselves, callers coalesce).
+
+    ``loop_partitions`` temporarily overrides
+    ``spark.sql.shuffle.partitions`` for the iterative loop (restored
+    after): each iteration runs 2 joins + 2 aggregations + an eager
+    checkpoint + a convergence count, so with a KNOWN-small edge list
+    (the ontology alias graph) session-default partition counts make
+    fixed per-task scheduling dominate the loop.  Leave None for
+    unknown-size inputs (document near-dup clustering), where AQE
+    handles sizing.
     """
+    spark = edges.sparkSession
+    prev_parts = None
+    if loop_partitions:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        return _cc_loop(edges, max_iter, salt)
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _cc_loop(edges: DataFrame, max_iter: int, salt: int) -> DataFrame:
     edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("concept_id"))
@@ -73,58 +96,74 @@ def connected_components(
             .groupBy("concept_id", "_salt").agg(F.min("label").alias("label"))
             .groupBy("concept_id").agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_full = (
             labels.join(prop, "concept_id", "left")
             .select(
                 "concept_id",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                # convergence flag carried through the checkpoint so the
+                # changed-check reads materialized rows instead of
+                # re-joining old vs new labels (one fewer shuffle/iter)
+                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "concept_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_full.filter(F.col("_chg")).limit(1).count()
+        labels = new_full.select("concept_id", "label")
         if changed == 0:
             break
 
     return labels.select("concept_id", F.col("label").alias("component_id"))
 
 
-def canonical_mapping(relationships: DataFrame) -> DataFrame:
+def canonical_mapping(relationships: DataFrame,
+                      loop_partitions: int = 8) -> DataFrame:
     """(concept_id → canonical_concept_id) for every aliased concept.
 
     Canonical = per component, the chain-terminal 'Maps to' target
     (appears as concept_id_2 of a 'Maps to' row and never as
     concept_id_1), min id on ties; else the component min id.
+
+    The whole build runs at ``loop_partitions`` shuffle partitions and
+    materializes eagerly: the alias graph is ontology-bounded (≤
+    vocabulary size, nothing to do with turn count), so at
+    session-default partition counts fixed per-task scheduling across
+    the CC loop's ~2 iterations dominated the canon stage (measured
+    4.9 s of the bench's 7.4 s canon time at 1M turns).  The returned
+    mapping is checkpointed — downstream broadcasts read materialized
+    rows, not a replan at restored session partitioning.
     """
-    edges = alias_edges(relationships)
-    comps = connected_components(edges)
+    spark = relationships.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        edges = alias_edges(relationships)
+        comps = _cc_loop(edges, 25, DEFAULT_SALT)
 
-    maps_to = relationships.filter(F.col("relationship_id") == "Maps to")
-    sources = maps_to.select(F.col("concept_id_1").alias("concept_id")).distinct()
-    targets = maps_to.select(F.col("concept_id_2").alias("concept_id")).distinct()
-    terminals = targets.join(sources, "concept_id", "left_anti")
+        maps_to = relationships.filter(F.col("relationship_id") == "Maps to")
+        sources = maps_to.select(F.col("concept_id_1").alias("concept_id")).distinct()
+        targets = maps_to.select(F.col("concept_id_2").alias("concept_id")).distinct()
+        terminals = targets.join(sources, "concept_id", "left_anti")
 
-    comp_terminal = (
-        comps.join(terminals, "concept_id", "left_semi")
-        .groupBy("component_id")
-        .agg(F.min("concept_id").alias("terminal_id"))
-    )
-    comp_min = comps.groupBy("component_id").agg(F.min("concept_id").alias("min_id"))
-    canon = (
-        comps.join(comp_min, "component_id")
-        .join(comp_terminal, "component_id", "left")
-        .select(
-            "concept_id",
-            F.coalesce(F.col("terminal_id"), F.col("min_id")).alias("canonical_concept_id"),
+        comp_terminal = (
+            comps.join(terminals, "concept_id", "left_semi")
+            .groupBy("component_id")
+            .agg(F.min("concept_id").alias("terminal_id"))
         )
-    )
-    return canon.filter(F.col("concept_id") != F.col("canonical_concept_id"))
+        comp_min = comps.groupBy("component_id").agg(F.min("concept_id").alias("min_id"))
+        canon = (
+            comps.join(comp_min, "component_id")
+            .join(comp_terminal, "component_id", "left")
+            .select(
+                "concept_id",
+                F.coalesce(F.col("terminal_id"), F.col("min_id")).alias("canonical_concept_id"),
+            )
+        )
+        return canon.filter(
+            F.col("concept_id") != F.col("canonical_concept_id")
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def canonicalize_facts(facts: DataFrame, relationships: DataFrame) -> DataFrame:
