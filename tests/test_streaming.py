@@ -123,3 +123,60 @@ def test_stateful_facts_converges_to_batch(spark, tmp_path):
         assert r.concept_name == e.concept_name and r.domain == e.domain, k
         assert r.first_turn_idx == e.first_turn_idx, k
         assert r.first_start_offset == e.first_start_offset, k
+
+
+def test_stateful_facts_state_survives_restart(spark, tmp_path):
+    """Stop/restart with the same checkpoint: batch-2 emissions must
+    fold into state RECOVERED from the state store (not recomputed), so
+    keys touched in batch 2 reflect batch-1 evidence too."""
+    from kgnorm import facts as facts_mod
+
+    in_dir = str(tmp_path / "fi2")
+    ck = str(tmp_path / "ckr")
+    os.makedirs(in_dir)
+    schema = (
+        "conv_id string, turn_idx int, start_offset int, end_offset int,"
+        " assertion string, temporality string, experiencer string,"
+        " confidence double, omop_concept_id long, concept_name string,"
+        " domain_id string"
+    )
+    b1 = [("C1", 0, 0, 4, "present", "current", "patient", 0.8, 1, "Cough", "condition"),
+          ("C1", 1, 5, 9, "present", "current", "patient", 0.6, 1, "cough", "condition")]
+    b2 = [("C1", 7, 2, 6, "present", "current", "patient", 0.5, 1, "COUGH", "condition")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    out_dir = str(tmp_path / "sfr_out")
+
+    def run():
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        def sink(df, batch_id):
+            df.withColumn("batch_id", F.lit(batch_id)) \
+                .write.mode("append").parquet(out_dir)
+
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (streaming.stateful_facts(stream)
+             .writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+
+    run()
+    n_first = spark.read.parquet(out_dir).count()
+    assert n_first == 1  # batch 1 emitted the accumulated fact once
+    # restart with one NEW file on the SAME checkpoint — only batch 2 emits
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    all_rows = spark.read.parquet(out_dir).collect()
+    out2 = [r for r in all_rows if r.evidence_count > 2]
+    assert len(all_rows) == 2 and len(out2) == 1
+    r = out2[0]
+    # evidence_count 3 proves batch-1 state was recovered, not rebuilt
+    assert r.evidence_count == 3
+    expected = facts_mod.build_facts(
+        spark.createDataFrame(b1 + b2, schema)).collect()[0]
+    assert round(r.confidence, 6) == round(expected.confidence, 6)
+    assert r.concept_name == expected.concept_name == "Cough"
+    assert r.first_turn_idx == 0 and r.first_start_offset == 0
