@@ -1991,7 +1991,11 @@ def _q_stream_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
              .option("checkpointLocation", os.path.join(base, "ckpt"))
              .trigger(availableNow=True)
              .start())
-        q.awaitTermination()
+        # bounded wait: a wedged stream must fail THIS query loudly, not
+        # hang the whole driver sweep behind it
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("stream_facts: streaming query did not drain in 600s")
         _STATEFUL_DONE[key] = table
     emitted = spark.table(_STATEFUL_DONE[key])
     w = Window.partitionBy(
@@ -2031,7 +2035,9 @@ def _q_stream_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = streaming.run_stream_to_dir(
             spark, in_dir, out_dir, os.path.join(base, "ckpt"), s["dictionary"]
         )
-        q.awaitTermination()
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("stream_mentions: streaming query did not drain in 600s")
         _STREAM_DONE.add(key)
     return spark.read.parquet(out_dir).select(
         "conv_id", "turn_idx", "mention_text", "start_offset", "end_offset",

@@ -117,7 +117,7 @@ def _cc_loop(edges: DataFrame, max_iter: int, salt: int) -> DataFrame:
 
 
 def canonical_mapping(relationships: DataFrame,
-                      loop_partitions: int = 8) -> DataFrame:
+                      loop_partitions: int | None = None) -> DataFrame:
     """(concept_id → canonical_concept_id) for every aliased concept.
 
     Canonical = per component, the chain-terminal 'Maps to' target
@@ -129,15 +129,22 @@ def canonical_mapping(relationships: DataFrame,
     vocabulary size, nothing to do with turn count), so at
     session-default partition counts fixed per-task scheduling across
     the CC loop's ~2 iterations dominated the canon stage (measured
-    4.9 s of the bench's 7.4 s canon time at 1M turns).  The returned
-    mapping is checkpointed — downstream broadcasts read materialized
-    rows, not a replan at restored session partitioning.
+    4.9 s of the bench's 7.4 s canon time at 1M turns).  Default
+    ``None`` sizes from the actual edge count (one cheap count job):
+    ~100k edges per partition, floor 8, capped at the session default —
+    so a full-OMOP alias graph (~10M rows) still gets wide shuffles
+    while the fixture-sized graph stops paying 64-task fixed costs.
+    The returned mapping is checkpointed — downstream broadcasts read
+    materialized rows, not a replan at restored session partitioning.
     """
     spark = relationships.sparkSession
+    edges = alias_edges(relationships)
+    if loop_partitions is None:
+        sess = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        loop_partitions = max(8, min(sess, edges.count() // 100_000 + 1))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
     try:
-        edges = alias_edges(relationships)
         comps = _cc_loop(edges, 25, DEFAULT_SALT)
 
         maps_to = relationships.filter(F.col("relationship_id") == "Maps to")

@@ -71,9 +71,13 @@ class StageStore:
                 sql(f"DROP TABLE IF EXISTS {table}")
                 # the v1 session catalog caps ALTER ... RENAME at 2 name
                 # parts — drop its explicit catalog prefix; V2 catalogs
-                # rename with the full 3-part identifier
-                session_cat = self.catalog.split(".", 1)[0] == "spark_catalog"
-                strip = (lambda t: t.split(".", 1)[1]) if session_cat else (lambda t: t)
+                # rename with the full 3-part identifier.  A bare
+                # database name ("kg") resolves to the current (session)
+                # catalog too and is already 2-part-safe.
+                parts = self.catalog.split(".")
+                session_cat = parts[0] == "spark_catalog" or len(parts) == 1
+                strip = (lambda t: t.split(".", 1)[1]) \
+                    if parts[0] == "spark_catalog" else (lambda t: t)
                 sql(f"ALTER TABLE {strip(staging)} RENAME TO {strip(table)}")
                 if session_cat and partition_by:
                     # v1 managed-table rename moves the data directory but

@@ -33,12 +33,25 @@ from pyspark.sql import DataFrame, functions as F
 
 FACT_KEY = ["conv_id", "omop_concept_id", "assertion", "temporality", "experiencer"]
 
+# packed mention-position key multipliers — shared by the batch agg, the
+# incremental merge, the streaming state kernel AND the SQL oracles
+# (turn*1e8 + start*1e4 + end); offsets ≥ 10^4 bleed into the next
+# field, a documented quirk every consumer reproduces identically
+ORD_TURN = 100_000_000
+ORD_START = 10_000
+
+
+def ord_value(turn_idx: int, start_offset: int, end_offset: int) -> int:
+    """Pure-Python twin of :func:`_ord_key` (streaming state kernel)."""
+    return turn_idx * ORD_TURN + start_offset * ORD_START + end_offset
+
+
 def _ord_key():
     """Numeric mention-position key for deterministic first-evidence-wins picks;
     fits in a bigint for any realistic turn/offset ranges."""
     return (
-        F.col("turn_idx").cast("long") * F.lit(100_000_000)
-        + F.col("start_offset").cast("long") * F.lit(10_000)
+        F.col("turn_idx").cast("long") * F.lit(ORD_TURN)
+        + F.col("start_offset").cast("long") * F.lit(ORD_START)
         + F.col("end_offset").cast("long")
     )
 
@@ -107,6 +120,12 @@ def build_facts(fact_inputs: DataFrame, num_partitions: int | None = None) -> Da
     )
 
 
+def _is_facts_shaped(df: DataFrame) -> bool:
+    """True when df is a build_facts output (already aggregated) rather
+    than raw FactInput rows."""
+    return "evidence_count" in df.columns
+
+
 def merge_facts(existing: DataFrame, new_inputs: DataFrame) -> DataFrame:
     """MERGE-shaped incremental noisy-OR re-aggregation — the batch
     upsert for stream-appended turns (kgnorm/streaming.py scopes the
@@ -114,17 +133,20 @@ def merge_facts(existing: DataFrame, new_inputs: DataFrame) -> DataFrame:
 
     ``existing`` is a previously-built facts table (``build_facts``
     output); ``new_inputs`` are FactInput rows for NEWLY-ARRIVED turns
-    only.  Noisy-OR is associative and commutative, so merging the
+    only — or an ALREADY-AGGREGATED delta (build_facts output, detected
+    by its evidence_count column) for callers that computed it anyway.  Noisy-OR is associative and commutative, so merging the
     stored fact with the delta's aggregate equals re-aggregating from
     scratch:  ``1 - (1-c_old)(1-c_delta)``, computed in log space like
     ``build_facts``.  Confidence can wobble in the last ulps (the stored
     ``confidence`` re-enters log space through ``1 - c``), which the
     universal 6-dp consumer rounding absorbs; every other column is
-    exactly the full-rerun value.  Cross-side first-evidence tie-break
-    is (first_turn_idx, first_start_offset) — the batch ``min_by`` also
-    ranks end_offset, unknowable from the stored row; ties there prefer
-    the existing side (only cosmetic columns are affected; the dedup key
-    never is).
+    exactly the full-rerun value.  Cross-side first-evidence comparison
+    uses the batch agg's OWN packed ord key (turn·ORD_TURN +
+    start·ORD_START) — the batch ``min_by`` additionally ranks
+    end_offset, unknowable from the stored row; exact packed ties
+    prefer the existing side (only cosmetic columns are affected; the
+    dedup key never is).  NULL fact-key attributes merge like the batch
+    groupBy (null-safe key equality), not like SQL join NULLs.
 
     Spark plan = the MERGE INTO pattern: aggregate the (small) delta,
     then ONE shuffle join on the fact key.  On Iceberg this maps 1:1 to
@@ -132,21 +154,32 @@ def merge_facts(existing: DataFrame, new_inputs: DataFrame) -> DataFrame:
     UPDATE ... WHEN NOT MATCHED THEN INSERT``; for plain parquet use
     ``upsert_facts_parquet`` (partition-scoped rewrite).
     """
-    delta = build_facts(new_inputs)
+    delta = new_inputs if _is_facts_shaped(new_inputs) else build_facts(new_inputs)
     e, n = existing.alias("e"), delta.alias("n")
-    joined = e.join(n, FACT_KEY, "full")
+    # null-safe key equality: build_facts' groupBy treats NULL key
+    # attributes as equal, so the merge join must too — a plain
+    # on=FACT_KEY join would leave NULL-keyed facts unmatched and
+    # duplicate them instead of merging
+    cond = None
+    for k in FACT_KEY:
+        c = F.col(f"e.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = c if cond is None else cond & c
+    joined = e.join(n, cond, "full")
 
     e_has = F.col("e.evidence_count").isNotNull()
     n_has = F.col("n.evidence_count").isNotNull()
-    # side whose first evidence comes earliest in document order
-    e_first = e_has & (
-        ~n_has
-        | (F.col("e.first_turn_idx") < F.col("n.first_turn_idx"))
-        | (
-            (F.col("e.first_turn_idx") == F.col("n.first_turn_idx"))
-            & (F.col("e.first_start_offset") <= F.col("n.first_start_offset"))
+
+    # side whose first evidence comes earliest in document order — the
+    # SAME packed ord the batch agg minimizes (minus the unstored
+    # end_offset term), so merge picks exactly like build_facts even
+    # where the packed key's ≥10^4-offset quirk reorders spans
+    def _side_ord(side: str):
+        return (
+            F.col(f"{side}.first_turn_idx").cast("long") * F.lit(ORD_TURN)
+            + F.col(f"{side}.first_start_offset").cast("long") * F.lit(ORD_START)
         )
-    )
+
+    e_first = e_has & (~n_has | (_side_ord("e") <= _side_ord("n")))
 
     def _first(col: str):
         return F.when(e_first, F.col(f"e.{col}")).otherwise(F.col(f"n.{col}"))
@@ -163,7 +196,7 @@ def merge_facts(existing: DataFrame, new_inputs: DataFrame) -> DataFrame:
         .otherwise(1.0 - F.exp(_log1m("e") + _log1m("n")))
     )
     return joined.select(
-        *FACT_KEY,
+        *[F.coalesce(F.col(f"e.{k}"), F.col(f"n.{k}")).alias(k) for k in FACT_KEY],
         _first("concept_name").alias("concept_name"),
         _first("domain").alias("domain"),
         conf.alias("confidence"),
@@ -204,8 +237,10 @@ def upsert_facts_parquet(
         existing = spark.read.parquet(facts_dir)
         hot = delta.select("_bucket").distinct()
         touched = existing.join(F.broadcast(hot), "_bucket", "left_semi")
+        # pass the ALREADY-AGGREGATED delta — merge_facts would otherwise
+        # re-run build_facts(new_inputs) and its whole upstream lineage
         merged = merge_facts(
-            touched.drop("_bucket"), new_inputs
+            touched.drop("_bucket"), delta.drop("_bucket")
         ).withColumn("_bucket", bucket_col(n_buckets))
         # the write dynamically overwrites the very partitions the plan
         # reads — materialize the merged hot buckets first to sever the

@@ -203,10 +203,12 @@ def rolling_trend(per_doc: DataFrame, value_col: str, window_size: int = 10) -> 
     per-doc table through ONE task).  The global order is realized with
     the range-partition + offset trick, fully lazy:
 
-    1. ``repartitionByRange(conv_id)`` — order-preserving partitions
-       (Spark's range sampler is seeded per partition index, so the two
-       consumers of the exchange see identical boundaries even if
-       exchange reuse doesn't kick in);
+    1. ``repartitionByRange(conv_id)`` — order-preserving partitions,
+       materialized ONCE (eager localCheckpoint): the range sampler's
+       seed includes the rdd id, so two independent materializations of
+       the exchange could pick different boundaries; both consumers
+       below must read the same pid→rows mapping, so it is pinned
+       rather than left to exchange-reuse;
     2. per-partition counts -> cumulative offsets — the only
        globally-ordered window left runs over #shuffle-partitions rows
        (bounded by config), not #conversations;
@@ -224,15 +226,16 @@ def rolling_trend(per_doc: DataFrame, value_col: str, window_size: int = 10) -> 
     dashboard's small windows (default 10); for window_size ≫ 100
     switch to a prefix-sum formulation over the same rn ordering.
     """
-    # EXPLICIT partition count: a bare repartitionByRange would let AQE
-    # coalesce the exchange, and the two consumers below (counts,
-    # row-number) must observe the identical pid→rows mapping even when
-    # exchange reuse doesn't kick in
+    # EXPLICIT partition count (a bare repartitionByRange would let AQE
+    # coalesce the exchange) + eager checkpoint so the two consumers
+    # below (counts, row-number) observe the identical pid→rows mapping
+    # by construction, not by exchange-reuse luck
     n_parts = int(per_doc.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     d = (
         per_doc.select("conv_id", F.col(value_col).alias("value"))
         .repartitionByRange(n_parts, "conv_id")
         .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = d.groupBy("pid").agg(F.count(F.lit(1)).alias("_c"))
     off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -61,15 +61,21 @@ def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def idf_table(tokens: DataFrame, n_docs: int) -> DataFrame:
-    """idf = ln(n_docs / (df + 1)) + 1 (semantic_qa.py:143-153)."""
-    return (
-        tokens.groupBy("token")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .select(
+def idf_table(tokens: DataFrame, n_docs) -> DataFrame:
+    """idf = ln(n_docs / (df + 1)) + 1 (semantic_qa.py:143-153).
+
+    ``n_docs``: an int, or a 1-row DataFrame with an ``n_docs`` column
+    (the lazy count-star corpus_index builds) — ONE formula definition
+    for both forms so they cannot drift."""
+    counts = tokens.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    if isinstance(n_docs, DataFrame):
+        return counts.crossJoin(F.broadcast(n_docs)).select(
             "token",
-            (F.log(F.lit(float(n_docs)) / (F.col("df") + 1)) + 1.0).alias("idf"),
+            (F.log(F.col("n_docs").cast("double") / (F.col("df") + 1)) + 1.0).alias("idf"),
         )
+    return counts.select(
+        "token",
+        (F.log(F.lit(float(n_docs)) / (F.col("df") + 1)) + 1.0).alias("idf"),
     )
 
 
@@ -88,16 +94,7 @@ def corpus_index(docs: DataFrame, id_col: str = "doc_id",
     ``len(self._documents)`` (semantic_qa.py:146)."""
     toks = doc_tokens(docs, id_col, text_col)
     ndf = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    idf = (
-        toks.groupBy("token")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .crossJoin(F.broadcast(ndf))
-        .select(
-            "token",
-            (F.log(F.col("n_docs").cast("double") / (F.col("df") + 1)) + 1.0).alias("idf"),
-        )
-    )
-    return toks, idf, ndf
+    return toks, idf_table(toks, ndf), ndf
 
 
 def _py_tokens(text: str) -> list[str]:

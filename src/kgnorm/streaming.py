@@ -68,13 +68,18 @@ _FACT_STATE_SCHEMA = "state_json string"
 def _stateful_facts_fn(key, pdfs: Iterator[pd.DataFrame], state):
     """Per-conversation fact accumulator (see :func:`stateful_facts`).
 
-    State = JSON dict fact_key -> [log1m_sum, evidence_count,
-    [first_turn, first_start, first_end], concept_name, domain] —
-    exactly the information the batch ``build_facts`` aggregation
-    carries per group, so every emission equals what a batch rerun over
-    the evidence-so-far would produce (confidence up to summation
-    order, absorbed by the 6-dp consumer rounding).
+    State = JSON dict fact_key -> [log1m_sum, evidence_count, min_ord
+    (facts.ord_value's PACKED key — the same quirky turn·1e8+start·1e4
+    +end the batch agg and the SQL oracles minimize), start@min_ord,
+    name@min_ord, domain@min_ord, min_turn] — exactly the information
+    the batch ``build_facts`` aggregation carries per group
+    (first_turn_idx is an independent min there, not derived from the
+    ord), so every emission equals what a batch rerun over the
+    evidence-so-far would produce (confidence up to summation order,
+    absorbed by the 6-dp consumer rounding).
     """
+    from kgnorm.facts import ord_value
+
     conv_id = key[0]
     st = json.loads(state.get[0]) if state.exists else {}
     touched = set()
@@ -82,16 +87,20 @@ def _stateful_facts_fn(key, pdfs: Iterator[pd.DataFrame], state):
         for r in pdf.itertuples(index=False):
             k = json.dumps([int(r.omop_concept_id), r.assertion,
                             r.temporality, r.experiencer])
-            ordv = [int(r.turn_idx), int(r.start_offset), int(r.end_offset)]
+            ordv = ord_value(int(r.turn_idx), int(r.start_offset),
+                             int(r.end_offset))
             log1m = math.log(max(1.0 - float(r.confidence), 1e-15))
             if k in st:
                 s = st[k]
                 s[0] += log1m
                 s[1] += 1
                 if ordv < s[2]:
-                    s[2], s[3], s[4] = ordv, r.concept_name, r.domain_id
+                    s[2], s[3], s[4], s[5] = \
+                        ordv, int(r.start_offset), r.concept_name, r.domain_id
+                s[6] = min(s[6], int(r.turn_idx))
             else:
-                st[k] = [log1m, 1, ordv, r.concept_name, r.domain_id]
+                st[k] = [log1m, 1, ordv, int(r.start_offset),
+                         r.concept_name, r.domain_id, int(r.turn_idx)]
             touched.add(k)
     state.update((json.dumps(st),))
     cols = [c.strip().split(" ")[0] for c in STATEFUL_FACTS_SCHEMA.split(",")]
@@ -104,12 +113,12 @@ def _stateful_facts_fn(key, pdfs: Iterator[pd.DataFrame], state):
         out["assertion"].append(assertion)
         out["temporality"].append(temporality)
         out["experiencer"].append(experiencer)
-        out["concept_name"].append(s[3])
-        out["domain"].append(s[4])
+        out["concept_name"].append(s[4])
+        out["domain"].append(s[5])
         out["confidence"].append(1.0 - math.exp(s[0]))
         out["evidence_count"].append(s[1])
-        out["first_turn_idx"].append(s[2][0])
-        out["first_start_offset"].append(s[2][1])
+        out["first_turn_idx"].append(s[6])
+        out["first_start_offset"].append(s[3])
     yield pd.DataFrame(out, columns=cols)
 
 

@@ -180,8 +180,8 @@ def one_liner(facts: DataFrame, spark: SparkSession) -> DataFrame:
     return j.select("conv_id", line.alias("one_liner"))
 
 
-def critical_findings(facts: DataFrame) -> DataFrame:
-    """'Critical condition: <label>' rows, top 5 per patient
+def critical_findings(facts: DataFrame, cap: int = 5) -> DataFrame:
+    """'Critical condition: <label>' rows, top ``cap`` per patient
     (clinical_summarizer.py:631-658)."""
     conds = facts.filter(F.col("domain") == "condition")
     ml = F.lower(F.col("concept_name"))
@@ -195,7 +195,7 @@ def critical_findings(facts: DataFrame) -> DataFrame:
     return (
         conds.filter(hit)
         .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= 5)
+        .filter(F.col("_rk") <= cap)
         .select(
             "conv_id",
             F.concat(F.lit("Critical condition: "), F.col("concept_name"))
@@ -231,12 +231,12 @@ def critical_combined(facts: DataFrame, values: DataFrame, cap: int = 5) -> Data
     reference builds ONE critical list — conditions first, then lab
     values — and caps the COMBINED list at ``critical[:5]``.
 
-    The condition leg's own internal top-5 is harmless here: conditions
-    precede labs in the combined order, so no condition past the 5th
+    The condition leg is pre-capped at the SAME ``cap``: conditions
+    precede labs in the combined order, so no condition past the cap-th
     could survive the shared cap anyway.  Within the lab leg the
     reference keeps document order; the deterministic stand-in is the
     finding string (same policy as the module-level ordering note)."""
-    conds = critical_findings(facts).select(
+    conds = critical_findings(facts, cap=cap).select(
         "conv_id", "finding", F.lit(0).alias("_leg"))
     labs = critical_labs(values).select(
         "conv_id", "finding", F.lit(1).alias("_leg"))

@@ -147,3 +147,30 @@ def test_fallback_branch_stages_before_dropping(tmp_path):
     log2 = _CallLog()
     store.write(log2, "stage_q", partition_by=["k"])
     assert log2.calls[-1] == ("sql", "MSCK REPAIR TABLE kg.stage_q")
+
+
+def test_fallback_bare_database_name_repairs_partitions(tmp_path):
+    """catalog='kg' (no explicit catalog part) also resolves to the
+    session catalog: the rename stays 2-part AND the partitioned
+    repair must still run (regression: prefix-only detection skipped
+    MSCK for bare names)."""
+    log = _CallLog()
+    store = StageStore(str(tmp_path / "unused"), catalog="kg",
+                       table_format="parquet")
+    store.write(log, "stage_b", partition_by=["k"])
+    assert ("sql", "ALTER TABLE kg.stage_b__staging RENAME TO kg.stage_b") in log.calls
+    assert log.calls[-1] == ("sql", "MSCK REPAIR TABLE kg.stage_b")
+
+
+def test_fallback_bare_database_roundtrip(spark, tmp_path):
+    """End-to-end partitioned write/read with a bare database name."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS kgbare")
+    try:
+        store = StageStore(str(tmp_path / "unused"), catalog="kgbare",
+                           table_format="parquet")
+        df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("k"))
+        store.write(df, "stage_r", partition_by=["k"])
+        assert store.read(spark, "stage_r").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS kgbare.stage_r")
+        spark.sql("DROP DATABASE IF EXISTS kgbare")

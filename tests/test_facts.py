@@ -177,3 +177,45 @@ def test_upsert_parquet_partition_scoped(spark, tmp_path):
     expected = facts_mod.build_facts(
         all_inputs.filter((F.col("turn_idx") < 5) | (F.col("conv_id") == "C0")))
     assert _canon(got) == _canon(expected)
+
+
+def test_merge_null_key_attributes(spark):
+    """NULL fact-key attributes must merge like the batch groupBy
+    (null-safe equality), not stay unmatched like SQL join NULLs."""
+    old = _fact_inputs(spark, [
+        ("C1", 0, 0, 5, None, "current", "patient", 0.8, 1, "Cough", "condition"),
+    ])
+    new = _fact_inputs(spark, [
+        ("C1", 4, 0, 5, None, "current", "patient", 0.6, 1, "Cough", "condition"),
+    ])
+    merged = facts_mod.merge_facts(facts_mod.build_facts(old), new).collect()
+    assert len(merged) == 1
+    assert merged[0].evidence_count == 2
+    assert merged[0].confidence == pytest.approx(1 - 0.2 * 0.4)
+
+
+def test_merge_matches_batch_packed_ord_quirk(spark):
+    """Offsets >= 10^4: the packed ord key ranks (turn=0, start=20000)
+    AFTER (turn=1, start=0) — the batch quirk; the merge cross-side
+    comparison must reproduce it, not lexicographic (turn, start)."""
+    old = _fact_inputs(spark, [
+        ("C1", 0, 20000, 20005, "present", "current", "patient", 0.5, 1, "OLD", "condition"),
+    ])
+    new = _fact_inputs(spark, [
+        ("C1", 1, 0, 5, "present", "current", "patient", 0.5, 1, "NEW", "condition"),
+    ])
+    all_inputs = old.unionByName(new)
+    batch = facts_mod.build_facts(all_inputs).collect()[0]
+    merged = facts_mod.merge_facts(facts_mod.build_facts(old), new).collect()[0]
+    # packed: 0*1e8 + 20000*1e4 = 2.0e8 > 1*1e8 → the turn-1 mention wins
+    assert batch.concept_name == "NEW"
+    assert merged.concept_name == batch.concept_name
+    assert merged.first_start_offset == batch.first_start_offset
+    assert merged.first_turn_idx == batch.first_turn_idx == 0  # min(turn) is separate
+
+
+def test_ord_value_matches_column_key(spark):
+    df = _fact_inputs(spark, [
+        ("C1", 3, 17, 42, "present", "current", "patient", 0.5, 1, "X", "condition"),
+    ]).withColumn("_ord", facts_mod._ord_key())
+    assert df.collect()[0]._ord == facts_mod.ord_value(3, 17, 42)

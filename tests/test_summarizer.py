@@ -143,6 +143,25 @@ class TestCriticalAndRollup:
         assert sum(x.startswith("Critical condition:") for x in out) == 4
         assert sum(x.startswith("Critical value:") for x in out) == 1
 
+    def test_critical_combined_cap_above_five(self, spark):
+        """cap > 5 must not be silently limited by the condition leg's
+        internal cap — conditions fill first up to the full cap."""
+        from kgnorm import summarizer
+
+        rows = [("X", f"severe problem {i}", "condition", "present", "current",
+                 "patient", 0.9, i, 0) for i in range(8)]
+        f = spark.createDataFrame(rows, FACT_SCHEMA)
+        v = spark.createDataFrame(
+            [("X", "Potassium", 7.2, "mEq/L"),
+             ("X", "Sodium", 115.0, "mEq/L"),
+             ("X", "Glucose", 600.0, "mg/dL")],
+            "conv_id string, label string, value double, unit string")
+        out = [r["finding"] for r in
+               summarizer.critical_combined(f, v, cap=10).collect()]
+        assert len(out) == 10
+        assert sum(x.startswith("Critical condition:") for x in out) == 8
+        assert sum(x.startswith("Critical value:") for x in out) == 2
+
     def test_rollup(self, spark, facts):
         from kgnorm import summarizer
 
