@@ -107,6 +107,42 @@ def run_pipeline(
     return out
 
 
+def run_append(
+    spark: SparkSession,
+    new_transcripts: DataFrame,
+    output: str,
+    num_partitions: int | None = None,
+    data_dir: str | None = None,
+    n_buckets: int = 64,
+) -> dict[str, DataFrame]:
+    """Incremental append (the 10^12-turn operating mode): extract+link
+    ONLY the newly-arrived turns, then MERGE their facts into the
+    bucketed facts table at ``<output>/facts_bucketed`` — created on
+    the first call, partition-scoped rewrites after
+    (facts.upsert_facts_parquet).  Cost is proportional to the delta,
+    never the stored table; the merged table equals a full batch rerun
+    over all turns ever appended (tests/test_job_append.py pins it).
+    """
+    import os
+
+    ont = ontology.load_fixture_ontology(data_dir)
+    dictionary = ontology.broadcast_dictionary(spark, ont)
+    concepts = ontology.concepts_df(spark, ont)
+    synonyms = ontology.synonyms_df(spark, ont)
+
+    mentions = extract.extract_mentions_df(
+        new_transcripts, dictionary, num_partitions).persist()
+    candidates = link.link_mentions(
+        mentions, concepts, synonyms,
+        assume_all_direct=ontology.all_entries_linked(ont))
+    fi = facts_mod.mention_facts_input(mentions, link.top_candidates(candidates))
+
+    facts_dir = os.path.join(output, "facts_bucketed")
+    facts_mod.upsert_facts_parquet(spark, facts_dir, fi, n_buckets=n_buckets)
+    merged = spark.read.parquet(facts_dir).drop("_bucket")
+    return {"mentions": mentions, "facts": merged}
+
+
 def main() -> None:
     from kgnorm.session import get_spark
 
@@ -116,6 +152,9 @@ def main() -> None:
     p.add_argument("--output", required=True, help="warehouse directory for stage tables")
     p.add_argument("--resume", action="store_true", help="skip stages whose outputs exist")
     p.add_argument("--canonicalize", action="store_true", help="also emit alias-merged outputs")
+    p.add_argument("--append", action="store_true",
+                   help="treat the input as NEWLY-ARRIVED turns and MERGE their "
+                        "facts into <output>/facts_bucketed instead of rebuilding")
     p.add_argument("--partitions", type=int, default=None)
     args = p.parse_args()
 
@@ -127,6 +166,22 @@ def main() -> None:
         transcripts = synth.synth_transcripts(spark, args.synth_turns)
 
     assert metrics.turn_order_check(transcripts) == 0, "duplicate (conv_id, turn_idx) keys"
+
+    if args.append:
+        out = run_append(spark, transcripts, args.output,
+                         num_partitions=args.partitions)
+        violations = metrics.mention_span_check(transcripts, out["mentions"])
+        n_turns = transcripts.count()
+        elapsed = time.time() - t0
+        print(json.dumps({
+            "turns_appended": n_turns,
+            "facts_total": out["facts"].count(),
+            "span_violations": violations,
+            "sec": round(elapsed, 2),
+            "turns_per_sec": round(n_turns / elapsed, 1),
+        }))
+        spark.stop()
+        return
 
     store = StageStore(args.output)
     out = run_pipeline(
