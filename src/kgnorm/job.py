@@ -119,9 +119,11 @@ def run_append(
     ONLY the newly-arrived turns, then MERGE their facts into the
     bucketed facts table at ``<output>/facts_bucketed`` — created on
     the first call, partition-scoped rewrites after
-    (facts.upsert_facts_parquet).  Cost is proportional to the delta,
-    never the stored table; the merged table equals a full batch rerun
-    over all turns ever appended (tests/test_job_append.py pins it).
+    (facts.upsert_facts_parquet) — and re-project the triples for the
+    touched buckets only into ``<output>/triples_bucketed``.  Cost is
+    proportional to the delta, never the stored table; both merged
+    tables equal a full batch rerun over all turns ever appended
+    (tests/test_job_append.py pins it).
     """
     import os
 
@@ -139,8 +141,31 @@ def run_append(
 
     facts_dir = os.path.join(output, "facts_bucketed")
     facts_mod.upsert_facts_parquet(spark, facts_dir, fi, n_buckets=n_buckets)
-    merged = spark.read.parquet(facts_dir).drop("_bucket")
-    return {"mentions": mentions, "facts": merged}
+    bucketed = spark.read.parquet(facts_dir)
+
+    # triples projection maintained incrementally too: rebuild ONLY the
+    # buckets the delta touched (bucket = f(conv_id) and the graph
+    # window is conv-scoped, so per-bucket projection is exact) and
+    # dynamically overwrite those partitions
+    hot = (
+        fi.select(facts_mod.bucket_col(n_buckets).alias("_bucket")).distinct()
+    )
+    touched = bucketed.join(F.broadcast(hot), "_bucket", "left_semi")
+    # no read/overwrite cycle here: the plan reads facts_bucketed and
+    # writes triples_bucketed
+    triples = (
+        graph.build_triples(touched.drop("_bucket"))
+        .withColumn("_bucket", facts_mod.bucket_col(n_buckets))
+    )
+    triples_dir = os.path.join(output, "triples_bucketed")
+    with facts_mod._partition_overwrite(spark, "dynamic"):
+        triples.write.mode("overwrite").partitionBy("_bucket").parquet(triples_dir)
+
+    return {
+        "mentions": mentions,
+        "facts": bucketed.drop("_bucket"),
+        "triples": spark.read.parquet(triples_dir).drop("_bucket"),
+    }
 
 
 def main() -> None:
@@ -176,6 +201,7 @@ def main() -> None:
         print(json.dumps({
             "turns_appended": n_turns,
             "facts_total": out["facts"].count(),
+            "triples_total": out["triples"].count(),
             "span_violations": violations,
             "sec": round(elapsed, 2),
             "turns_per_sec": round(n_turns / elapsed, 1),

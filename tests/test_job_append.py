@@ -29,6 +29,8 @@ def _canon(df):
 
 
 def test_two_appends_equal_one_batch(spark, tmp_path, ontology_bundle):
+    from kgnorm import graph
+
     out_dir = str(tmp_path / "wh")
     all_t = synth.synth_transcripts(spark, 400)
     first = all_t.filter(F.col("turn_idx") < 5)
@@ -41,3 +43,11 @@ def test_two_appends_equal_one_batch(spark, tmp_path, ontology_bundle):
     expected = _expected_facts(spark, all_t, ontology_bundle)
     assert _canon(r2["facts"]) == _canon(expected)
     assert r2["facts"].count() >= n1
+    # the incrementally-maintained triples projection equals the batch one
+    got_triples = sorted(
+        (t.conv_id, t.subj, t.pred, t.obj, t.assertion)
+        for t in r2["triples"].collect())
+    exp_triples = sorted(
+        (t.conv_id, t.subj, t.pred, t.obj, t.assertion)
+        for t in graph.build_triples(expected).collect())
+    assert got_triples == exp_triples
