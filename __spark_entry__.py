@@ -1953,6 +1953,14 @@ _STREAM_DONE: set = set()
 _STATEFUL_DONE: dict = {}
 
 
+def _drain(q, label: str, timeout_sec: int = 600) -> None:
+    """Bounded availableNow drain: a wedged stream must fail THIS query
+    loudly, never hang the whole driver sweep behind it."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise RuntimeError(f"{label}: streaming query did not drain in {timeout_sec}s")
+
+
 def _q_stream_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (kgnorm/streaming.py
     stateful_facts, applyInPandasWithState update mode): fact inputs
@@ -1991,11 +1999,7 @@ def _q_stream_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
              .option("checkpointLocation", os.path.join(base, "ckpt"))
              .trigger(availableNow=True)
              .start())
-        # bounded wait: a wedged stream must fail THIS query loudly, not
-        # hang the whole driver sweep behind it
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("stream_facts: streaming query did not drain in 600s")
+        _drain(q, "stream_facts")
         _STATEFUL_DONE[key] = table
     emitted = spark.table(_STATEFUL_DONE[key])
     w = Window.partitionBy(
@@ -2035,9 +2039,7 @@ def _q_stream_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = streaming.run_stream_to_dir(
             spark, in_dir, out_dir, os.path.join(base, "ckpt"), s["dictionary"]
         )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("stream_mentions: streaming query did not drain in 600s")
+        _drain(q, "stream_mentions")
         _STREAM_DONE.add(key)
     return spark.read.parquet(out_dir).select(
         "conv_id", "turn_idx", "mention_text", "start_offset", "end_offset",

@@ -63,16 +63,13 @@ def connected_components(
     unknown-size inputs (document near-dup clustering), where AQE
     handles sizing.
     """
-    spark = edges.sparkSession
-    prev_parts = None
-    if loop_partitions:
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
-    try:
+    if not loop_partitions:
         return _cc_loop(edges, max_iter, salt)
-    finally:
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    from kgnorm.session import conf_override
+
+    with conf_override(edges.sparkSession, "spark.sql.shuffle.partitions",
+                       loop_partitions):
+        return _cc_loop(edges, max_iter, salt)
 
 
 def _cc_loop(edges: DataFrame, max_iter: int, salt: int) -> DataFrame:
@@ -137,14 +134,14 @@ def canonical_mapping(relationships: DataFrame,
     The returned mapping is checkpointed — downstream broadcasts read
     materialized rows, not a replan at restored session partitioning.
     """
+    from kgnorm.session import conf_override
+
     spark = relationships.sparkSession
     edges = alias_edges(relationships)
     if loop_partitions is None:
         sess = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         loop_partitions = max(8, min(sess, edges.count() // 100_000 + 1))
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
-    try:
+    with conf_override(spark, "spark.sql.shuffle.partitions", loop_partitions):
         comps = _cc_loop(edges, 25, DEFAULT_SALT)
 
         maps_to = relationships.filter(F.col("relationship_id") == "Maps to")
@@ -169,8 +166,6 @@ def canonical_mapping(relationships: DataFrame,
         return canon.filter(
             F.col("concept_id") != F.col("canonical_concept_id")
         ).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def canonicalize_facts(facts: DataFrame, relationships: DataFrame) -> DataFrame:

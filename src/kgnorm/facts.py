@@ -255,16 +255,10 @@ def upsert_facts_parquet(
         merged.write.mode("overwrite").partitionBy("_bucket").parquet(facts_dir)
 
 
-class _partition_overwrite:
-    def __init__(self, spark, mode: str):
-        self.spark, self.mode = spark, mode
+def _partition_overwrite(spark, mode: str):
+    from kgnorm.session import conf_override
 
-    def __enter__(self):
-        self.prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.mode)
-
-    def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
+    return conf_override(spark, "spark.sql.sources.partitionOverwriteMode", mode)
 
 
 def positive_facts(facts: DataFrame) -> DataFrame:

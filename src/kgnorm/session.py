@@ -15,6 +15,25 @@ from pyspark.sql import SparkSession
 SRC_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+class conf_override:
+    """Scoped ``spark.conf`` override, restored on exit.
+
+    Only affects ACTIONS run inside the block (Spark resolves most SQL
+    confs at execution, not plan-build, time) — callers materialize
+    eagerly inside the block when the result must keep the override.
+    """
+
+    def __init__(self, spark, key: str, value) -> None:
+        self.spark, self.key, self.value = spark, key, str(value)
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.key)
+        self.spark.conf.set(self.key, self.value)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self.key, self.prev)
+
+
 def _export_pythonpath() -> None:
     if SRC_DIR not in sys.path:
         sys.path.insert(0, SRC_DIR)
