@@ -162,8 +162,16 @@ def keyword_search(
     qt = F.broadcast(_query_tokens(spark, queries))
 
     # overlap = query tokens present in the doc's TOKEN SET; scoring then
-    # substring-counts the token in the raw lowercased text (:331-335)
-    overlap = toks.select("doc_id", "token").distinct().join(qt, "token")
+    # substring-counts the token in the raw lowercased text (:331-335).
+    # Join the broadcast query-token dim FIRST, then dedup: Catalyst will
+    # not reorder a broadcast join below an Aggregate, so a pre-join
+    # distinct would shuffle the ENTIRE exploded token table on every
+    # search call.  Joining first prunes to query-overlapping tokens
+    # map-side (broadcast), so the distinct's exchange carries only the
+    # (query, doc_id, token) rows that actually score — query-sized, not
+    # corpus-sized.  Same result set: per-occurrence duplicates collapse
+    # in the distinct either way.
+    overlap = toks.join(qt, "token").select("query", "doc_id", "token").distinct()
     scored = (
         overlap.join(F.broadcast(idf), "token", "left")
         .join(base, "doc_id")

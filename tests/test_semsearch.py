@@ -51,6 +51,33 @@ class TestKeywordSearch:
         rows = semsearch.keyword_search(docs, spark, ["heart"], 0.3, 1).collect()
         assert len(rows) == 1 and rows[0]["doc_id"] == 2 and rows[0]["rank"] == 1
 
+    def test_overlap_distinct_above_broadcast_join(self, spark, docs):
+        """r4 verdict finding #1: the (query, doc_id, token) dedup must
+        consume the BROADCAST-pruned token stream, never the raw corpus
+        token table — otherwise every search call shuffles the entire
+        exploded token table before the query filter applies.  Pin the
+        plan shape: the only Aggregate grouping on doc_id+token sits
+        directly over the broadcast query-token join (the idf table's
+        per-token Aggregate is the one-time corpus statistic and may
+        scan the corpus)."""
+        from kgnorm import semsearch
+
+        plan = semsearch.keyword_search(docs, spark, ["heart pain"]) \
+            ._jdf.queryExecution().optimizedPlan().toString()
+        ln = plan.splitlines()
+        overlap_aggs = [
+            i for i, l in enumerate(ln)
+            if "Aggregate" in l and "doc_id" in l and "token" in l
+            and "count(" not in l  # idf / tf aggregates compute counts
+        ]
+        assert overlap_aggs, f"overlap distinct missing from plan:\n{plan}"
+        for i in overlap_aggs:
+            below = "\n".join(ln[i:i + 4])
+            assert "Join Inner" in below and "broadcast" in below, (
+                "overlap distinct no longer sits on the broadcast-pruned "
+                f"token join:\n{below}"
+            )
+
 
 class TestSemanticAndHybrid:
     def test_identical_doc_scores_1(self, spark):
