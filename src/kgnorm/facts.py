@@ -142,10 +142,24 @@ def merge_facts(existing: DataFrame, new_inputs: DataFrame) -> DataFrame:
     universal 6-dp consumer rounding absorbs; every other column is
     exactly the full-rerun value.  Cross-side first-evidence comparison
     uses the batch agg's OWN packed ord key (turn·ORD_TURN +
-    start·ORD_START) — the batch ``min_by`` additionally ranks
-    end_offset, unknowable from the stored row; exact packed ties
-    prefer the existing side (only cosmetic columns are affected; the
-    dedup key never is).  NULL fact-key attributes merge like the batch
+    start·ORD_START), reconstructed from the stored row, with two
+    documented gaps vs a full rebuild (both confined to the COSMETIC
+    columns concept_name / domain / first_start_offset — the dedup key,
+    confidence and evidence_count are never affected):
+
+    * the batch ``min_by`` additionally ranks end_offset, unknowable
+      from the stored row — exact packed ties prefer the existing side;
+    * the reconstruction pairs ``first_turn_idx`` (an INDEPENDENT min in
+      ``build_facts``) with ``first_start_offset`` (the ord-winner's
+      start).  With multiple evidences on a side these can come from
+      different mentions once ``start_offset·ORD_START`` overflows into
+      the turn field (start_offset ≥ 10^4, i.e. a >10k-char turn), so
+      the reconstructed ord is one no single mention had and the
+      cross-side winner can diverge from the batch pick.  For turns
+      under 10k characters the ord minimum is always attained at
+      (min turn, its min start) and the reconstruction is exact.
+
+    NULL fact-key attributes merge like the batch
     groupBy (null-safe key equality), not like SQL join NULLs.
 
     Spark plan = the MERGE INTO pattern: aggregate the (small) delta,
@@ -214,26 +228,97 @@ def bucket_col(n_buckets: int):
     return F.pmod(F.hash("conv_id"), F.lit(n_buckets))
 
 
+def _hadoop_fs(spark, path_str: str):
+    """(FileSystem, Path) for ``path_str`` resolved through the session's
+    Hadoop conf — works for any warehouse scheme (file://, hdfs://,
+    s3a://), unlike driver-local ``os.path`` probes which always say
+    "missing" on a remote URI and would silently turn every append into
+    a delta-only overwrite (r4 ADVICE)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _facts_table_exists(spark, facts_dir: str) -> bool:
+    """Table presence = any ``_bucket=`` partition directory (dynamic /
+    staged commits don't maintain a root ``_SUCCESS``)."""
+    fs, hpath = _hadoop_fs(spark, facts_dir)
+    if not fs.exists(hpath):
+        return False
+    return any(
+        st.getPath().getName().startswith("_bucket=")
+        for st in fs.listStatus(hpath)
+    )
+
+
+def _staging_dir(facts_dir: str) -> str:
+    return facts_dir.rstrip("/") + "__staging"
+
+
+def recover_staged_upsert(spark, facts_dir: str) -> None:
+    """Complete (or discard) an interrupted ``upsert_facts_parquet``.
+
+    Commit protocol: the merged hot buckets are FULLY written to the
+    sibling ``<facts_dir>__staging`` (Spark's ``_SUCCESS`` marks the
+    write complete), then each staged ``_bucket=`` directory is swapped
+    into the live table (delete old dir + rename staged dir — both
+    metadata-only on HDFS-like stores).  This function makes the
+    protocol crash-safe end-to-end:
+
+    * crash BEFORE ``_SUCCESS``: the staging remnant is deleted — the
+      live table was never touched, the caller re-runs the append;
+    * crash DURING the swap: already-swapped buckets are gone from
+      staging, the rest (still marked by ``_SUCCESS``) are swapped in
+      now — the swap loop is idempotent.
+
+    (Iceberg's ``MERGE INTO`` gets the same guarantee from its snapshot
+    commit; this is the plain-parquet equivalent, same shape as
+    ``kgnorm.checkpoints.StageStore``'s staged CTAS-then-rename.)
+    """
+    fs, staging = _hadoop_fs(spark, _staging_dir(facts_dir))
+    if not fs.exists(staging):
+        return
+    jvm = spark._jvm
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(staging, "_SUCCESS")):
+        fs.delete(staging, True)   # incomplete write — live table intact
+        return
+    dest_root = jvm.org.apache.hadoop.fs.Path(facts_dir)
+    fs.mkdirs(dest_root)
+    for st in fs.listStatus(staging):
+        name = st.getPath().getName()
+        if not name.startswith("_bucket="):
+            continue
+        dest = jvm.org.apache.hadoop.fs.Path(dest_root, name)
+        if fs.exists(dest):
+            fs.delete(dest, True)
+        if not fs.rename(st.getPath(), dest):
+            raise IOError(f"rename {st.getPath()} -> {dest} failed")
+    fs.delete(staging, True)
+
+
 def upsert_facts_parquet(
     spark, facts_dir: str, new_inputs: DataFrame, n_buckets: int = 64
 ) -> None:
     """Parquet fallback for the Iceberg MERGE: the facts table lives
     partitioned by ``_bucket = pmod(hash(conv_id), n_buckets)``; an
     upsert re-aggregates ONLY the buckets containing delta conversations
-    and rewrites just those directories via dynamic partition overwrite
-    — at 10^9 facts an append touching 1% of conversations rewrites ~1%
-    of the table, never the whole thing.
+    and rewrites just those directories — at 10^9 facts an append
+    touching 1% of conversations rewrites ~1% of the table, never the
+    whole thing.
 
-    First call (no table yet) writes all buckets.
+    Crash safety (r4 verdict #4): the merged hot buckets are staged to a
+    sibling directory and swapped in per-bucket (see
+    :func:`recover_staged_upsert` for the full protocol) — an interrupt
+    anywhere before the swap leaves the previous facts table fully
+    readable, and a half-finished swap completes on the next call.
+    Staging to a sibling also severs the read-from/overwrite cycle
+    without materializing the merge on the driver-local checkpoint dir.
+
+    First call (no table yet) writes all buckets directly.
     """
-    import os
-
+    recover_staged_upsert(spark, facts_dir)
     delta = build_facts(new_inputs).withColumn("_bucket", bucket_col(n_buckets))
-    # dynamic-overwrite commits don't write a root _SUCCESS marker —
-    # table presence = any bucket partition directory
-    table_exists = os.path.isdir(facts_dir) and any(
-        e.startswith("_bucket=") for e in os.listdir(facts_dir))
-    if table_exists:
+    if _facts_table_exists(spark, facts_dir):
         existing = spark.read.parquet(facts_dir)
         hot = delta.select("_bucket").distinct()
         touched = existing.join(F.broadcast(hot), "_bucket", "left_semi")
@@ -242,17 +327,17 @@ def upsert_facts_parquet(
         merged = merge_facts(
             touched.drop("_bucket"), delta.drop("_bucket")
         ).withColumn("_bucket", bucket_col(n_buckets))
-        # the write dynamically overwrites the very partitions the plan
-        # reads — materialize the merged hot buckets first to sever the
-        # read-from/overwrite cycle (Iceberg's MERGE does this inside
-        # its snapshot transaction; a production parquet variant could
-        # instead stage to a sibling dir and swap, like
-        # kgnorm.checkpoints.StageStore)
-        merged = merged.localCheckpoint(eager=True)
+        staging = _staging_dir(facts_dir)
+        fs, spath = _hadoop_fs(spark, staging)
+        fs.delete(spath, True)
+        # static overwrite of the (fresh) staging dir — a session-wide
+        # dynamic partitionOverwriteMode would skip the root _SUCCESS
+        # marker the commit protocol keys on
+        with _partition_overwrite(spark, "static"):
+            merged.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+        recover_staged_upsert(spark, facts_dir)   # commit: swap staged buckets in
     else:
-        merged = delta
-    with _partition_overwrite(spark, "dynamic"):
-        merged.write.mode("overwrite").partitionBy("_bucket").parquet(facts_dir)
+        delta.write.mode("overwrite").partitionBy("_bucket").parquet(facts_dir)
 
 
 def _partition_overwrite(spark, mode: str):

@@ -124,6 +124,12 @@ def run_append(
     proportional to the delta, never the stored table; both merged
     tables equal a full batch rerun over all turns ever appended
     (tests/test_job_append.py pins it).
+
+    ``out["mentions"]`` is returned PERSISTED (it fed both the facts
+    upsert and the triples projection); callers must ``unpersist()`` it
+    when done — a long-lived session issuing sequential appends would
+    otherwise accumulate cached mention partitions (the CLI does this
+    after its span check).
     """
     import os
 
@@ -196,6 +202,7 @@ def main() -> None:
         out = run_append(spark, transcripts, args.output,
                          num_partitions=args.partitions)
         violations = metrics.mention_span_check(transcripts, out["mentions"])
+        out["mentions"].unpersist()   # last consumer of the cached delta
         n_turns = transcripts.count()
         elapsed = time.time() - t0
         print(json.dumps({
