@@ -47,6 +47,29 @@ class StageStore:
             writer = writer.partitionedBy(*[col(c) for c in partition_by])
         return writer
 
+    def _is_session_catalog(self, spark) -> bool:
+        """Does ``self.catalog`` resolve to the v1 session catalog?
+
+        A bare name ("kg") normally means a database in the session
+        catalog — but the SAME spelling can be a registered V2 catalog
+        plugin (``spark.sql.catalog.kg`` set), whose tables must take
+        the V2 path: full-identifier rename and NO ``MSCK REPAIR``
+        (AnalysisException on a V2 table).  So the plugin registration,
+        not the part count, decides.  ``spark_catalog`` stays v1-shaped
+        even when overridden (e.g. Iceberg's SparkSessionCatalog): the
+        override delegates non-Iceberg tables to the builtin catalog,
+        and Iceberg-format tables take the RTAS branch before this check
+        matters.
+        """
+        first = self.catalog.split(".")[0]
+        if first == "spark_catalog":
+            return True
+        try:
+            registered = spark.conf.get(f"spark.sql.catalog.{first}", None)
+        except Exception:
+            registered = None
+        return registered is None and "." not in self.catalog
+
     def exists(self, name: str) -> bool:
         if self.catalog:
             spark = SparkSession.getActiveSession()
@@ -71,11 +94,12 @@ class StageStore:
                 sql(f"DROP TABLE IF EXISTS {table}")
                 # the v1 session catalog caps ALTER ... RENAME at 2 name
                 # parts — drop its explicit catalog prefix; V2 catalogs
-                # rename with the full 3-part identifier.  A bare
-                # database name ("kg") resolves to the current (session)
-                # catalog too and is already 2-part-safe.
+                # rename with the full identifier.  Whether a bare name
+                # ("kg") is a session-catalog database or a registered
+                # V2 catalog plugin is resolved against the session conf
+                # (_is_session_catalog), not inferred from part count.
                 parts = self.catalog.split(".")
-                session_cat = parts[0] == "spark_catalog" or len(parts) == 1
+                session_cat = self._is_session_catalog(df.sparkSession)
                 strip = (lambda t: t.split(".", 1)[1]) \
                     if parts[0] == "spark_catalog" else (lambda t: t)
                 sql(f"ALTER TABLE {strip(staging)} RENAME TO {strip(table)}")

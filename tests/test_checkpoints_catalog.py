@@ -69,8 +69,9 @@ class _CallLog:
     call StageStore.write issues — lets both write branches be asserted
     exactly without an Iceberg runtime jar on the classpath."""
 
-    def __init__(self):
+    def __init__(self, confs=None):
         self.calls = []
+        self._confs = confs or {}
 
     # --- DataFrame surface ---
     def writeTo(self, table):
@@ -83,6 +84,14 @@ class _CallLog:
 
     def sql(self, stmt):
         self.calls.append(("sql", stmt))
+
+    # --- RuntimeConfig surface (catalog-plugin registration lookups) ---
+    @property
+    def conf(self):
+        return self
+
+    def get(self, key, default=None):
+        return self._confs.get(key, default)
 
     # --- DataFrameWriterV2 surface ---
     def using(self, fmt):
@@ -160,6 +169,20 @@ def test_fallback_bare_database_name_repairs_partitions(tmp_path):
     store.write(log, "stage_b", partition_by=["k"])
     assert ("sql", "ALTER TABLE kg.stage_b__staging RENAME TO kg.stage_b") in log.calls
     assert log.calls[-1] == ("sql", "MSCK REPAIR TABLE kg.stage_b")
+
+
+def test_fallback_bare_name_registered_v2_catalog_skips_msck(tmp_path):
+    """catalog='ice' where ``spark.sql.catalog.ice`` is a registered V2
+    plugin must take the V2 path: full-identifier rename, NO
+    ``MSCK REPAIR`` (which raises AnalysisException on a V2 table).
+    Regression for part-count-based session-catalog inference."""
+    log = _CallLog(confs={"spark.sql.catalog.ice": "some.V2CatalogPlugin"})
+    store = StageStore(str(tmp_path / "unused"), catalog="ice",
+                       table_format="parquet")
+    store.write(log, "stage_v", partition_by=["k"])
+    assert ("sql", "ALTER TABLE ice.stage_v__staging RENAME TO ice.stage_v") \
+        in log.calls
+    assert not any("MSCK" in c[1] for c in log.calls if c[0] == "sql")
 
 
 def test_fallback_bare_database_roundtrip(spark, tmp_path):
