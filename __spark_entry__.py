@@ -1963,9 +1963,15 @@ def _drain(q, label: str, timeout_sec: int = 600) -> None:
 
 def _q_stream_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (kgnorm/streaming.py
-    stateful_facts, applyInPandasWithState update mode): fact inputs
-    streamed in two micro-batches; the LAST emission per fact key must
-    equal the batch facts table — shares kg_facts' full-batch oracle."""
+    stateful_facts, applyInPandasWithState update mode) on its
+    PRODUCTION host (run_stateful_facts_to_dir: foreachBatch parquet
+    sink — the memory sink cannot recover from a checkpoint): the first
+    half of the fact inputs is drained, the query is STOPPED, the second
+    half arrives, and a fresh query on the same checkpoint resumes the
+    accumulator state mid-stream.  The continuously-current view
+    (latest_stateful_facts) must then equal the full-batch facts table
+    — shares kg_facts' oracle, so the green row is also a
+    kill-and-restart resilience proof."""
     import shutil
 
     from kgnorm import streaming
@@ -1978,42 +1984,25 @@ def _q_stream_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
             tempfile.gettempdir(), f"kgnorm_sfacts_{_sf_tag(sf_dir)}_{os.getpid()}")
         shutil.rmtree(base, ignore_errors=True)
         in_dir = os.path.join(base, "in")
-        # two files -> two micro-batches, so most keys accumulate state
-        # ACROSS batches (maxFilesPerTrigger=1)
+        out_dir = os.path.join(base, "out")
+        ck_dir = os.path.join(base, "ckpt")
+        # first half → drain → query STOPS (availableNow); most fact
+        # keys get more evidence in the second half, so the final view
+        # is only correct if the restarted query RECOVERED their state
         fi.filter(F.col("turn_idx") < 3).coalesce(1) \
             .write.mode("append").parquet(in_dir)
+        _drain(streaming.run_stateful_facts_to_dir(
+            spark, in_dir, out_dir, ck_dir), "stream_facts[1]")
         fi.filter(F.col("turn_idx") >= 3).coalesce(1) \
             .write.mode("append").parquet(in_dir)
-        fi_schema = (
-            "conv_id string, turn_idx int, start_offset int, end_offset int,"
-            " omop_concept_id long, concept_name string, domain_id string,"
-            " assertion string, temporality string, experiencer string,"
-            " confidence double"
-        )
-        stream = (spark.readStream.schema(fi_schema)
-                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
-        table = f"stream_facts_{abs(hash(key)) % (1 << 30)}"
-        q = (streaming.stateful_facts(stream)
-             .writeStream.format("memory").queryName(table)
-             .outputMode("update")
-             .option("checkpointLocation", os.path.join(base, "ckpt"))
-             .trigger(availableNow=True)
-             .start())
-        _drain(q, "stream_facts")
-        _STATEFUL_DONE[key] = table
-    emitted = spark.table(_STATEFUL_DONE[key])
-    w = Window.partitionBy(
-        "conv_id", "omop_concept_id", "assertion", "temporality", "experiencer"
-    ).orderBy(F.desc("evidence_count"))
-    return (
-        emitted.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "conv_id", "omop_concept_id", "assertion", "temporality",
-            "experiencer", "concept_name", "domain",
-            F.round("confidence", 6).alias("confidence6"),
-            "evidence_count", "first_turn_idx", "first_start_offset",
-        )
+        _drain(streaming.run_stateful_facts_to_dir(
+            spark, in_dir, out_dir, ck_dir), "stream_facts[2]")
+        _STATEFUL_DONE[key] = out_dir
+    return streaming.latest_stateful_facts(spark, _STATEFUL_DONE[key]).select(
+        "conv_id", "omop_concept_id", "assertion", "temporality",
+        "experiencer", "concept_name", "domain",
+        F.round("confidence", 6).alias("confidence6"),
+        "evidence_count", "first_turn_idx", "first_start_offset",
     )
 
 

@@ -25,7 +25,7 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.broadcast import Broadcast
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from kgnorm import schemas
 from kgnorm.extract import extract_mentions_df
@@ -148,6 +148,76 @@ def stateful_facts(fact_inputs: DataFrame) -> DataFrame:
         stateStructType=_FACT_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+FACT_INPUT_SCHEMA = (
+    "conv_id string, turn_idx int, start_offset int, end_offset int,"
+    " omop_concept_id long, concept_name string, domain_id string,"
+    " assertion string, temporality string, experiencer string,"
+    " confidence double"
+)
+
+
+def run_stateful_facts_to_dir(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Production host for :func:`stateful_facts`: FactInput parquet
+    stream → stateful noisy-OR accumulator → ``foreachBatch`` append
+    sink writing each micro-batch's UPDATED fact rows (tagged with the
+    epoch id) to ``output_dir``.
+
+    ``foreachBatch``, not the memory sink: the memory sink collects to
+    the driver and cannot recover from a checkpoint, so a restarted
+    query would silently restart state from scratch.  With this host a
+    stop/kill + restart on the same ``checkpoint_dir`` resumes the
+    accumulator mid-stream (tests/test_streaming.py pins it, and the
+    driver harness runs the same path).  The file sink is at-least-once
+    across crash replays; :func:`latest_stateful_facts` makes the
+    readback idempotent.
+    """
+    stream = (
+        spark.readStream.schema(FACT_INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_epoch", F.lit(batch_id)) \
+            .write.mode("append").parquet(output_dir)
+
+    writer = (
+        stateful_facts(stream)
+        .writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def latest_stateful_facts(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Continuously-current facts view over the update-mode emission
+    log: per fact key, the emission with the highest evidence_count
+    (ties → latest epoch).  A crash-replayed micro-batch re-appends
+    byte-identical rows (the accumulator state is deterministic), so the
+    argmax also dedups the at-least-once sink — the view equals the
+    batch ``facts.build_facts`` over all evidence streamed so far."""
+    from kgnorm.facts import FACT_KEY
+
+    emitted = spark.read.parquet(output_dir)
+    w = Window.partitionBy(*FACT_KEY).orderBy(
+        F.desc("evidence_count"), F.desc("_epoch"))
+    return (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_epoch")
     )
 
 

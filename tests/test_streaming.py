@@ -148,18 +148,9 @@ def test_stateful_facts_state_survives_restart(spark, tmp_path):
     out_dir = str(tmp_path / "sfr_out")
 
     def run():
-        # memory sink can't recover from a checkpoint; foreachBatch can
-        def sink(df, batch_id):
-            df.withColumn("batch_id", F.lit(batch_id)) \
-                .write.mode("append").parquet(out_dir)
-
-        stream = spark.readStream.schema(schema).parquet(in_dir)
-        q = (streaming.stateful_facts(stream)
-             .writeStream.foreachBatch(sink)
-             .outputMode("update")
-             .option("checkpointLocation", ck)
-             .trigger(availableNow=True)
-             .start())
+        # the production host: foreachBatch sink (memory sink can't
+        # recover from a checkpoint)
+        q = streaming.run_stateful_facts_to_dir(spark, in_dir, out_dir, ck)
         q.awaitTermination(120)
 
     run()
@@ -180,3 +171,18 @@ def test_stateful_facts_state_survives_restart(spark, tmp_path):
     assert round(r.confidence, 6) == round(expected.confidence, 6)
     assert r.concept_name == expected.concept_name == "Cough"
     assert r.first_turn_idx == 0 and r.first_start_offset == 0
+
+    # the continuously-current view picks the max-evidence emission and
+    # equals the batch facts table over everything streamed
+    view = streaming.latest_stateful_facts(spark, out_dir).collect()
+    assert len(view) == 1
+    v = view[0]
+    assert v.evidence_count == 3
+    assert round(v.confidence, 6) == round(expected.confidence, 6)
+
+    # at-least-once sink: a crash-replayed micro-batch re-appends the
+    # SAME rows — the view must absorb the duplicate
+    dup = spark.read.parquet(out_dir).filter(F.col("evidence_count") == 3)
+    dup.write.mode("append").parquet(out_dir)
+    view2 = streaming.latest_stateful_facts(spark, out_dir).collect()
+    assert len(view2) == 1 and view2[0].evidence_count == 3
