@@ -292,6 +292,70 @@ def _q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GRAPH_STORE_DONE: dict = {}
+_GRAPH_READ_CONVS = ["C00000000", "C00000002"]
+_GRAPH_N_BUCKETS = 16
+
+
+def _q_graph_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-graph read-back (SURVEY §2.11, graph_builder_db.py:334-376):
+    the nodes and edges tables are persisted bucketed by hash(conv_id),
+    then two conversations' complete subgraphs (hub + concept nodes +
+    edges) are read back PARTITION-PRUNED — the filter on the _bucket
+    partition column means a serving read touches 2/16ths of the store's
+    files, never a full scan — and returned as one unified row set, the
+    shape a per-patient graph API serves."""
+    s = _stages(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"kgnorm_graphstore_{_sf_tag(sf_dir)}_{os.getpid()}")
+    key = (spark.sparkContext.applicationId, base)
+    if key not in _GRAPH_STORE_DONE:
+        facts = s["facts"]
+        b = facts_mod.bucket_col(_GRAPH_N_BUCKETS)
+        graph.build_nodes(facts).withColumn("_bucket", b).write \
+            .mode("overwrite").partitionBy("_bucket") \
+            .parquet(os.path.join(base, "nodes"))
+        graph.build_edges(facts).withColumn("_bucket", b).write \
+            .mode("overwrite").partitionBy("_bucket") \
+            .parquet(os.path.join(base, "edges"))
+        _GRAPH_STORE_DONE[key] = True
+    wanted = spark.createDataFrame(
+        [(c,) for c in _GRAPH_READ_CONVS], ["conv_id"])
+    buckets = [r._b for r in wanted.select(
+        facts_mod.bucket_col(_GRAPH_N_BUCKETS).alias("_b")).collect()]
+    nodes = (
+        spark.read.parquet(os.path.join(base, "nodes"))
+        .filter(F.col("_bucket").isin(buckets)
+                & F.col("conv_id").isin(_GRAPH_READ_CONVS))
+    )
+    edges = (
+        spark.read.parquet(os.path.join(base, "edges"))
+        .filter(F.col("_bucket").isin(buckets)
+                & F.col("conv_id").isin(_GRAPH_READ_CONVS))
+    )
+    return nodes.select(
+        F.lit("node").alias("kind"),
+        F.col("node_id").alias("item_id"),
+        "conv_id",
+        F.col("node_type").alias("item_type"),
+        "omop_concept_id",
+        "label",
+        F.lit(None).cast("string").alias("source_node_id"),
+        F.lit(None).cast("string").alias("target_node_id"),
+        F.col("properties")["assertion"].alias("p_assertion"),
+    ).unionByName(edges.select(
+        F.lit("edge").alias("kind"),
+        F.col("edge_id").alias("item_id"),
+        "conv_id",
+        F.col("edge_type").alias("item_type"),
+        F.lit(None).cast("long").alias("omop_concept_id"),
+        F.lit(None).cast("string").alias("label"),
+        "source_node_id",
+        "target_node_id",
+        F.col("properties")["assertion"].alias("p_assertion"),
+    ))
+
+
 def _q_omop_note_nlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _stages(spark, sf_dir)
     return export.note_nlp_export(s["mentions"], s["top"]).select(
@@ -2132,6 +2196,49 @@ SELECT node_id, conv_id, node_type, omop_concept_id, label, p_assertion, p_is_ne
 FROM concept_nodes
 UNION ALL
 SELECT node_id, conv_id, node_type, omop_concept_id, label, p_assertion, p_is_negated FROM hubs"""
+
+
+def _oracle_graph_read() -> str:
+    node_type_sql = (
+        "CASE domain WHEN 'condition' THEN 'condition' WHEN 'drug' THEN 'drug' "
+        "WHEN 'measurement' THEN 'measurement' WHEN 'procedure' THEN 'procedure' "
+        "WHEN 'observation' THEN 'observation' WHEN 'device' THEN 'observation' "
+        "ELSE 'observation' END"
+    )
+    convs = ", ".join(f"'{c}'" for c in _GRAPH_READ_CONVS)
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_fi_cte()}, {_facts_cte()},
+typed AS (SELECT *, {node_type_sql} AS node_type, {_EDGE_CASE_SQL} AS edge_type
+          FROM facts WHERE conv_id IN ({convs})),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, node_type, omop_concept_id
+    ORDER BY first_turn_idx, first_start_offset, assertion) AS rn
+  FROM typed),
+first AS (SELECT * FROM ranked WHERE rn = 1)
+SELECT 'node' AS kind,
+       sha256('concept|' || conv_id || '|' || node_type || '|' || cast(omop_concept_id AS varchar)) AS item_id,
+       conv_id, node_type AS item_type,
+       cast(omop_concept_id AS bigint) AS omop_concept_id,
+       concept_name AS label,
+       cast(NULL AS varchar) AS source_node_id,
+       cast(NULL AS varchar) AS target_node_id,
+       assertion AS p_assertion
+FROM first
+UNION ALL
+SELECT DISTINCT 'node' AS kind, sha256('patient|' || conv_id) AS item_id,
+       conv_id, 'patient' AS item_type, cast(NULL AS bigint) AS omop_concept_id,
+       conv_id AS label, cast(NULL AS varchar) AS source_node_id,
+       cast(NULL AS varchar) AS target_node_id, cast(NULL AS varchar) AS p_assertion
+FROM typed
+UNION ALL
+SELECT 'edge' AS kind,
+       sha256('edge|' || conv_id || '|' || edge_type || '|' || node_type || '|' || cast(omop_concept_id AS varchar)) AS item_id,
+       conv_id, edge_type AS item_type, cast(NULL AS bigint) AS omop_concept_id,
+       cast(NULL AS varchar) AS label,
+       sha256('patient|' || conv_id) AS source_node_id,
+       sha256('concept|' || conv_id || '|' || node_type || '|' || cast(omop_concept_id AS varchar)) AS target_node_id,
+       assertion AS p_assertion
+FROM first"""
 
 
 def _oracle_omop_note_nlp() -> str:
@@ -4803,18 +4910,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ORDER = driver-sweep priority (the driver checks the first
-        # ~50 entries per round): queries whose code changed this
-        # round first, then the queries whose latest driver row is
-        # oldest (r2-era), then the r3-checked remainder.
-        "facts_incremental": _q_facts_incremental,
-        "summary_critical_combined": _q_summary_critical_combined,
-        "stage_lineage": _q_stage_lineage,
+        # ~50 entries per round): the 9 queries whose latest driver
+        # row is r2-era first (r4 verdict #2), then queries whose code
+        # changed this round (incl. the new graph_read), then the
+        # r3-checked rows, then the freshly-r4-checked remainder.
+        # --- r2-era driver rows (stalest) ---
+        "multimodal_features": _q_multimodal_features,
+        "frame_sample": _q_frame_sample,
+        "events_tumbling": _q_events_tumbling,
+        "events_sessionize": _q_events_sessionize,
+        "normalize_terms": _q_normalize_terms,
+        "kg_relations": _q_kg_relations,
+        "kg_ensemble_mentions": _q_kg_ensemble_mentions,
+        "fhir_export": _q_fhir_export,
+        "kg_mentions_enhanced": _q_kg_mentions_enhanced,
+        # --- changed or new this round ---
+        "graph_read": _q_graph_read,
         "stream_facts": _q_stream_facts,
-        "nlp_dictionary": _q_nlp_dictionary,
-        "quality_trend": _q_quality_trend,
         "search_keyword": _q_search_keyword,
         "search_hybrid": _q_search_hybrid,
         "qa_answers": _q_qa_answers,
+        "facts_incremental": _q_facts_incremental,
+        "fact_search": _q_fact_search,
+        "concept_relations": _q_concept_relations,
+        "quality_trend": _q_quality_trend,
+        # --- r3-checked rows ---
+        "kg_advanced_mentions": _q_kg_advanced_mentions,
+        "risk_scores": _q_risk_scores,
+        "quality_rollup": _q_quality_rollup,
+        "accuracy_prf": _q_accuracy_prf,
+        "pattern_relations": _q_pattern_relations,
+        "treats_edges": _q_treats_edges,
+        "kg_canonical_triples": _q_kg_canonical_triples,
+        "kg_positive_facts": _q_kg_positive_facts,
+        "pricing_summary": _q_pricing_summary,
+        "customer_order_stats": _q_customer_order_stats,
+        "source_records_csv": _q_source_records_csv,
+        "source_records_fhir": _q_source_records_fhir,
+        "etl_conditions": _q_etl_conditions,
+        "etl_drugs": _q_etl_drugs,
+        "etl_persons": _q_etl_persons,
+        "etl_visits": _q_etl_visits,
+        "etl_procedures": _q_etl_procedures,
+        "etl_observations": _q_etl_observations,
+        "etl_deaths": _q_etl_deaths,
+        "summary_problems": _q_summary_problems,
+        "summary_one_liner": _q_summary_one_liner,
+        "summary_medications": _q_summary_medications,
+        "summary_critical": _q_summary_critical,
+        "summary_rollup": _q_summary_rollup,
+        "cdi_queries": _q_cdi_queries,
+        "cdi_batch": _q_cdi_batch,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_canonical": _q_dedup_canonical,
+        "report_clinical": _q_report_clinical,
+        "report_extraction": _q_report_extraction,
+        "athena_concepts": _q_athena_concepts,
+        "lab_causes": _q_lab_causes,
+        "hl7_conditions": _q_hl7_conditions,
+        "hl7_measurements": _q_hl7_measurements,
+        "ccda_conditions": _q_ccda_conditions,
+        "ccda_labs": _q_ccda_labs,
+        "db_source_records": _q_db_source_records,
+        "sentence_spans": _q_sentence_spans,
+        "summary_sbar": _q_summary_sbar,
+        "stream_mentions": _q_stream_mentions,
+        "kg_mentions": _q_kg_mentions,
+        "kg_candidates": _q_kg_candidates,
+        # --- r4-checked (freshest) ---
+        "summary_critical_combined": _q_summary_critical_combined,
+        "stage_lineage": _q_stage_lineage,
+        "nlp_dictionary": _q_nlp_dictionary,
         "etl_measurements": _q_etl_measurements,
         "ner_mentions": _q_ner_mentions,
         "kg_facts": _q_kg_facts,
@@ -4856,59 +5022,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "clinical_values": _q_clinical_values,
         "lab_interpret": _q_lab_interpret,
         "pattern_entities": _q_pattern_entities,
-        "kg_ensemble_mentions": _q_kg_ensemble_mentions,
-        "normalize_terms": _q_normalize_terms,
-        "kg_relations": _q_kg_relations,
-        "fhir_export": _q_fhir_export,
-        "kg_mentions_enhanced": _q_kg_mentions_enhanced,
-        "multimodal_features": _q_multimodal_features,
-        "frame_sample": _q_frame_sample,
-        "events_tumbling": _q_events_tumbling,
-        "events_sessionize": _q_events_sessionize,
-        "kg_advanced_mentions": _q_kg_advanced_mentions,
-        "risk_scores": _q_risk_scores,
-        "quality_rollup": _q_quality_rollup,
-        "accuracy_prf": _q_accuracy_prf,
-        "pattern_relations": _q_pattern_relations,
-        "treats_edges": _q_treats_edges,
-        "kg_canonical_triples": _q_kg_canonical_triples,
-        "kg_positive_facts": _q_kg_positive_facts,
-        "pricing_summary": _q_pricing_summary,
-        "customer_order_stats": _q_customer_order_stats,
-        "source_records_csv": _q_source_records_csv,
-        "source_records_fhir": _q_source_records_fhir,
-        "etl_conditions": _q_etl_conditions,
-        "etl_drugs": _q_etl_drugs,
-        "etl_persons": _q_etl_persons,
-        "etl_visits": _q_etl_visits,
-        "etl_procedures": _q_etl_procedures,
-        "etl_observations": _q_etl_observations,
-        "etl_deaths": _q_etl_deaths,
-        "summary_problems": _q_summary_problems,
-        "summary_one_liner": _q_summary_one_liner,
-        "summary_medications": _q_summary_medications,
-        "summary_critical": _q_summary_critical,
-        "summary_rollup": _q_summary_rollup,
-        "cdi_queries": _q_cdi_queries,
-        "cdi_batch": _q_cdi_batch,
-        "fact_search": _q_fact_search,
-        "concept_relations": _q_concept_relations,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_canonical": _q_dedup_canonical,
-        "report_clinical": _q_report_clinical,
-        "report_extraction": _q_report_extraction,
-        "athena_concepts": _q_athena_concepts,
-        "lab_causes": _q_lab_causes,
-        "hl7_conditions": _q_hl7_conditions,
-        "hl7_measurements": _q_hl7_measurements,
-        "ccda_conditions": _q_ccda_conditions,
-        "ccda_labs": _q_ccda_labs,
-        "db_source_records": _q_db_source_records,
-        "sentence_spans": _q_sentence_spans,
-        "summary_sbar": _q_summary_sbar,
-        "stream_mentions": _q_stream_mentions,
-        "kg_mentions": _q_kg_mentions,
-        "kg_candidates": _q_kg_candidates,
     }
 
 
@@ -4944,6 +5057,7 @@ def oracle_sql() -> dict[str, str]:
         # the stateful streaming accumulator must converge to the FULL
         # batch facts — deliberately the same oracle as kg_facts
         "stream_facts": _oracle_kg_facts(),
+        "graph_read": _oracle_graph_read(),
         "nlp_dictionary": _oracle_nlp_dictionary(),
         "summary_rollup": _oracle_summary_rollup(),
         "cdi_queries": _oracle_cdi_queries(),
