@@ -193,7 +193,8 @@ def aggregated_quality(per_doc: DataFrame) -> DataFrame:
     )
 
 
-def rolling_trend(per_doc: DataFrame, value_col: str, window_size: int = 10) -> DataFrame:
+def rolling_trend(per_doc: DataFrame, value_col: str, window_size: int = 10,
+                  method: str = "auto") -> DataFrame:
     """Rolling-average trend over conversations ordered by conv_id
     (quality_metrics.py:494-525 exposes raw last-N points; the rolling
     mean is the dashboard's smoothing step).
@@ -209,23 +210,35 @@ def rolling_trend(per_doc: DataFrame, value_col: str, window_size: int = 10) -> 
        the exchange could pick different boundaries; both consumers
        below must read the same pid→rows mapping, so it is pinned
        rather than left to exchange-reuse;
-    2. per-partition counts -> cumulative offsets — the only
-       globally-ordered window left runs over #shuffle-partitions rows
-       (bounded by config), not #conversations;
-    3. global row number rn = offset + per-partition ``row_number``;
-    4. each row contributes to the ``window_size`` rolling windows
-       ending at rn .. rn+w-1: explode + groupBy(window end) computes
-       (sum, count) per window with map-side partial aggregation;
-       phantom windows past the last row drop out in the inner join.
+    2. per-partition (count, value-sum) -> cumulative offsets — the
+       only globally-ordered window left runs over #shuffle-partitions
+       rows (bounded by config), not #conversations;
+    3. global row number rn = offset + per-partition ``row_number``.
 
-    Exact (byte-identical to the single-window plan) for integer
+    Two formulations share that numbering (``method``):
+
+    * ``"explode"`` — each row contributes to the ``window_size``
+      rolling windows ending at rn .. rn+w-1: explode + groupBy(window
+      end) computes (sum, count) per window with map-side partial
+      aggregation; phantom windows past the last row drop out in the
+      inner join.  Row cost is ``window_size`` × input — right for the
+      dashboard's small windows (default 10).
+    * ``"prefix"`` — global prefix sums (partition value-offset + a
+      running per-partition sum sharing the row-number window's sort);
+      rolling sum(rn) = prefix[rn] − prefix[rn−w] via one self-join on
+      the rn offset.  Row cost is 2 × input regardless of
+      ``window_size`` — the w ≫ 100 path.
+
+    ``"auto"`` picks explode for window_size ≤ 100, prefix above.  Both
+    are exact (byte-identical to the single-window plan, and to each
+    other — tests/test_quality_metrics.py property-pins it) for integer
     metrics — the driver query's ``mentions_extracted``; float metrics
     could differ in summation order below the 6-dp rounding.
-
-    Row cost is ``window_size`` × input (the explode) — right for the
-    dashboard's small windows (default 10); for window_size ≫ 100
-    switch to a prefix-sum formulation over the same rn ordering.
     """
+    if method == "auto":
+        method = "explode" if window_size <= 100 else "prefix"
+    if method not in ("explode", "prefix"):
+        raise ValueError(f"unknown rolling_trend method: {method!r}")
     # EXPLICIT partition count (a bare repartitionByRange would let AQE
     # coalesce the exchange) + eager checkpoint so the two consumers
     # below (counts, row-number) observe the identical pid→rows mapping
@@ -237,30 +250,52 @@ def rolling_trend(per_doc: DataFrame, value_col: str, window_size: int = 10) -> 
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    counts = d.groupBy("pid").agg(F.count(F.lit(1)).alias("_c"))
+    counts = d.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("_c"), F.sum("value").alias("_v"))
     off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
-        "pid", F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off")
+        "pid",
+        F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off"),
+        F.coalesce(F.sum("_v").over(off_w), F.lit(0)).alias("_voff"),
     )
     rn_w = Window.partitionBy("pid").orderBy("conv_id")
     numbered = (
         d.join(F.broadcast(offsets), "pid")
         .withColumn("rn", F.col("_off") + F.row_number().over(rn_w))
     )
-    sums = (
-        numbered.select(
-            "value",
-            F.explode(
-                F.sequence(F.col("rn"), F.col("rn") + F.lit(window_size - 1))
-            ).alias("target"),
+    if method == "explode":
+        sums = (
+            numbered.select(
+                "value",
+                F.explode(
+                    F.sequence(F.col("rn"), F.col("rn") + F.lit(window_size - 1))
+                ).alias("target"),
+            )
+            .groupBy("target")
+            .agg(F.sum("value").alias("_s"), F.count(F.lit(1)).alias("_n"))
         )
-        .groupBy("target")
-        .agg(F.sum("value").alias("_s"), F.count(F.lit(1)).alias("_n"))
-    )
-    return numbered.join(sums, numbered.rn == sums.target).select(
-        "conv_id",
-        "value",
-        F.round(F.col("_s") / F.col("_n"), 6).alias("rolling_avg"),
+        return numbered.join(sums, numbered.rn == sums.target).select(
+            "conv_id",
+            "value",
+            F.round(F.col("_s") / F.col("_n"), 6).alias("rolling_avg"),
+        )
+    # prefix path: the running sum shares rn_w's partitioning+sort, so
+    # it rides the row-number window's single exchange
+    cum_w = rn_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prefixed = numbered.withColumn(
+        "_prefix", F.col("_voff") + F.sum("value").over(cum_w))
+    prev = prefixed.select(
+        F.col("rn").alias("_prn"), F.col("_prefix").alias("_pprefix"))
+    return (
+        prefixed.join(prev, prefixed.rn - window_size == prev._prn, "left")
+        .select(
+            "conv_id",
+            "value",
+            F.round(
+                (F.col("_prefix") - F.coalesce(F.col("_pprefix"), F.lit(0)))
+                / F.least(F.col("rn"), F.lit(window_size)), 6
+            ).alias("rolling_avg"),
+        )
     )
 
 

@@ -6,6 +6,7 @@ rolling trend, precision/recall/F1 with raw-ratio F1.
 """
 
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from kgnorm import metrics
@@ -53,6 +54,56 @@ def test_rolling_trend(spark, mentions):
     assert got["C00"].rolling_avg == pytest.approx(1.0)
     assert got["C02"].rolling_avg == pytest.approx((1 + 2 + 3) / 3)
     assert got["C10"].rolling_avg == pytest.approx((9 + 10 + 11) / 3)
+
+
+def test_rolling_trend_prefix_path(spark, mentions):
+    """The w ≫ 100 prefix-sum formulation gives the same rolling means
+    as the explode plan on the driver query's integer metric, including
+    a window larger than the row count."""
+    pm = metrics.per_doc_metrics(mentions)
+    for w in (1, 3, 1000):
+        a = {(r.conv_id, r.value): r.rolling_avg for r in metrics.rolling_trend(
+            pm, "mentions_extracted", w, method="explode").collect()}
+        b = {(r.conv_id, r.value): r.rolling_avg for r in metrics.rolling_trend(
+            pm, "mentions_extracted", w, method="prefix").collect()}
+        assert a == b, f"window_size={w}"
+    with pytest.raises(ValueError):
+        metrics.rolling_trend(pm, "mentions_extracted", 5, method="bogus")
+
+
+def test_rolling_trend_auto_switches_to_prefix(spark, mentions):
+    """method='auto' must avoid the w× row explosion for large windows:
+    no explode/sequence in the optimized plan above the cutoff."""
+    pm = metrics.per_doc_metrics(mentions)
+    big = metrics.rolling_trend(pm, "mentions_extracted", 500) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "explode" not in big.lower()
+    small = metrics.rolling_trend(pm, "mentions_extracted", 10) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "explode" in small.lower()
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(min_value=0, max_value=50),
+                     min_size=1, max_size=30),
+       w=st.integers(min_value=1, max_value=64))
+def test_rolling_trend_formulations_agree_property(spark, vals, w):
+    """Property pin (r4 verdict #7): explode and prefix formulations are
+    byte-identical on integer metrics for random inputs and window
+    sizes, and both equal the direct rolling mean."""
+    rows = [(f"C{i:05d}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "conv_id string, m long")
+    got = {}
+    for method in ("explode", "prefix"):
+        got[method] = sorted(
+            (r.conv_id, r.value, r.rolling_avg)
+            for r in metrics.rolling_trend(df, "m", w, method=method).collect())
+    expected = sorted(
+        (f"C{i:05d}", v,
+         round(sum(vals[max(0, i - w + 1):i + 1]) / min(i + 1, w), 6))
+        for i, v in enumerate(vals))
+    assert got["explode"] == got["prefix"] == expected
 
 
 def test_rolling_trend_no_unpartitioned_window_over_docs(spark, mentions):
