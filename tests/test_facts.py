@@ -278,6 +278,37 @@ def test_merge_matches_batch_packed_ord_quirk(spark):
     assert merged.first_turn_idx == batch.first_turn_idx == 0  # min(turn) is separate
 
 
+def test_merge_multi_evidence_ord_reconstruction_gap(spark):
+    """Documented merge_facts gap #2 (r4 ADVICE): with MULTIPLE
+    evidences on a side and start_offset >= 10^4, the stored
+    (first_turn_idx, first_start_offset) pair can come from DIFFERENT
+    mentions — turn 0's huge-start mention loses the packed ord to turn
+    1, so the reconstruction pairs min-turn 0 with ord-winner start 5,
+    an ord (50000) no mention had.  A delta mention whose true packed
+    ord (60010) sits between the phantom and the real minimum
+    (100050009) then wins the batch pick but loses the merge pick.
+    This pins the divergence as cosmetic-only: key, confidence and
+    evidence_count still match the batch rebuild exactly."""
+    old = _fact_inputs(spark, [
+        ("C1", 0, 30000, 30005, "present", "current", "patient", 0.5, 1, "A-HUGE-START", "condition"),
+        ("C1", 1, 5, 9, "present", "current", "patient", 0.5, 1, "B-ORD-WINNER", "condition"),
+    ])
+    new = _fact_inputs(spark, [
+        ("C1", 0, 6, 10, "present", "current", "patient", 0.5, 1, "N-BETWEEN", "condition"),
+    ])
+    batch = facts_mod.build_facts(old.unionByName(new)).collect()[0]
+    merged = facts_mod.merge_facts(facts_mod.build_facts(old), new).collect()[0]
+    # packed ords: A = 300030005, B = 100050009, N = 60010 → batch
+    # winner is N; the merge's phantom e-side ord 0*1e8 + 5*1e4 = 50000
+    # undercuts N's 60000 → merge keeps the stored side
+    assert batch.concept_name == "N-BETWEEN"
+    assert merged.concept_name == "B-ORD-WINNER"     # the documented gap
+    # everything non-cosmetic is exact
+    assert merged.evidence_count == batch.evidence_count == 3
+    assert round(merged.confidence, 6) == round(batch.confidence, 6)
+    assert merged.first_turn_idx == batch.first_turn_idx == 0
+
+
 def test_ord_value_matches_column_key(spark):
     df = _fact_inputs(spark, [
         ("C1", 3, 17, 42, "present", "current", "patient", 0.5, 1, "X", "condition"),
