@@ -223,6 +223,49 @@ def test_upsert_interrupt_between_merge_and_commit(spark, tmp_path, monkeypatch)
         _canon(facts_mod.build_facts(all_inputs))
 
 
+def test_upsert_recovery_completes_partial_swap(spark, tmp_path, monkeypatch):
+    """Crash DURING the bucket swap: some staged buckets already moved,
+    the rest still in staging under the _SUCCESS marker.  Recovery must
+    complete the remaining swaps idempotently — the final table equals
+    the full rerun."""
+    import os
+    import shutil
+
+    facts_dir = str(tmp_path / "facts")
+    all_inputs = _many_inputs(spark)
+    old = all_inputs.filter(F.col("turn_idx") < 5)
+    new = all_inputs.filter(F.col("turn_idx") >= 5)
+    facts_mod.upsert_facts_parquet(spark, facts_dir, old, n_buckets=8)
+
+    # stage the merge without committing (crash before swap)
+    real = facts_mod.recover_staged_upsert
+    calls = {"n": 0}
+
+    def crashing(spark_, d):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("crash before commit")
+        return real(spark_, d)
+
+    monkeypatch.setattr(facts_mod, "recover_staged_upsert", crashing)
+    with pytest.raises(RuntimeError):
+        facts_mod.upsert_facts_parquet(spark, facts_dir, new, n_buckets=8)
+    monkeypatch.setattr(facts_mod, "recover_staged_upsert", real)
+
+    # simulate a crash MID-swap: move one staged bucket in by hand
+    staging = str(tmp_path / "facts__staging")
+    staged = sorted(e for e in os.listdir(staging) if e.startswith("_bucket="))
+    assert len(staged) >= 2, "test needs >=2 staged buckets"
+    first = staged[0]
+    shutil.rmtree(os.path.join(facts_dir, first), ignore_errors=True)
+    os.rename(os.path.join(staging, first), os.path.join(facts_dir, first))
+
+    facts_mod.recover_staged_upsert(spark, facts_dir)
+    assert not os.path.exists(staging)
+    assert _canon(spark.read.parquet(facts_dir).drop("_bucket")) == \
+        _canon(facts_mod.build_facts(all_inputs))
+
+
 def test_upsert_incomplete_staging_discarded(spark, tmp_path):
     """A staging remnant WITHOUT the _SUCCESS marker (crash mid-write)
     is discarded, never swapped into the live table."""
