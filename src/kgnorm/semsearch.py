@@ -196,25 +196,23 @@ def keyword_search(
     )
 
 
-def semantic_search(
-    docs: DataFrame,
-    spark: SparkSession,
-    queries: list[str],
-    min_score: float = MIN_SCORE,
-    max_results: int = MAX_RESULTS,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    ranked: bool = True,
-    index=None,
-) -> DataFrame:
-    """TF-IDF-vector cosine search (semantic_qa.py:357-389): both sides
-    are tf·idf-weighted token vectors; cosine reduces to the sum over
-    COMMON tokens of w_q·w_d over the norm product — computed sparsely
-    via the token join, never materializing the dense vocab vector."""
+def doc_vectors(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", index=None):
+    """(dvec, dnorm): the per-document tf·idf vector rows
+    ``(doc_id, token, w)`` and norms ``(doc_id, dn)`` the semantic leg
+    scores against — tf = occurrences / doc token count
+    (semantic_qa.py:134-141), weighted by the corpus idf.
+
+    This is the SERVING-SIDE INDEX: at corpus scale these two tables
+    are built once (one shuffle over the token table), written to
+    parquet/Iceberg, and every subsequent query batch joins against the
+    stored tables instead of re-aggregating the 100-TB token stream per
+    call — pass them back in via ``semantic_search(vectors=...)`` /
+    ``hybrid_search(vectors=...)``.  tests/test_semsearch.py pins that
+    a parquet-round-tripped index returns identical results and that
+    the query plan no longer scans the document text."""
     toks, idf_df, _n = index or corpus_index(docs, id_col, text_col)
     idf = F.broadcast(idf_df)
-
-    # doc vector: tf = occurrences / doc token count (compute_tf :134-141)
     dtf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("n"))
     dlen = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
     dvec = (
@@ -226,6 +224,33 @@ def semantic_search(
         )
     )
     dnorm = dvec.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dn"))
+    return dvec, dnorm
+
+
+def semantic_search(
+    docs: DataFrame,
+    spark: SparkSession,
+    queries: list[str],
+    min_score: float = MIN_SCORE,
+    max_results: int = MAX_RESULTS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ranked: bool = True,
+    index=None,
+    vectors=None,
+) -> DataFrame:
+    """TF-IDF-vector cosine search (semantic_qa.py:357-389): both sides
+    are tf·idf-weighted token vectors; cosine reduces to the sum over
+    COMMON tokens of w_q·w_d over the norm product — computed sparsely
+    via the token join, never materializing the dense vocab vector.
+
+    ``vectors``: a prebuilt ``doc_vectors`` (dvec, dnorm) pair — the
+    repeated-query serving path that skips the per-call corpus
+    aggregation entirely."""
+    toks, idf_df, _n = index or corpus_index(docs, id_col, text_col)
+    idf = F.broadcast(idf_df)
+    dvec, dnorm = vectors or doc_vectors(
+        docs, id_col, text_col, index=(toks, idf_df, _n))
 
     # query vector, same construction (:362-370)
     qrows = spark.createDataFrame([(q,) for q in queries], ["query"])
@@ -271,17 +296,21 @@ def hybrid_search(
     max_results: int = MAX_RESULTS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index=None,
+    vectors=None,
 ) -> DataFrame:
     """Hybrid merge (semantic_qa.py:391-409): mean of keyword and
     semantic scores when both found the doc, passthrough otherwise.
     The reference filters/caps AFTER merging (:299-303), so both legs
-    run uncapped here (min_score 0, max_results unbounded) first."""
-    idx = corpus_index(docs, id_col, text_col)
+    run uncapped here (min_score 0, max_results unbounded) first.
+    ``index`` / ``vectors``: prebuilt ``corpus_index`` / ``doc_vectors``
+    for the repeated-query serving path."""
+    idx = index or corpus_index(docs, id_col, text_col)
     kw = keyword_search(docs, spark, queries, 0.0, 1 << 30, id_col, text_col,
                         ranked=False, index=idx) \
         .select("query", "doc_id", F.col("score").alias("ks"))
     sem = semantic_search(docs, spark, queries, -1.0, 1 << 30, id_col, text_col,
-                          ranked=False, index=idx) \
+                          ranked=False, index=idx, vectors=vectors) \
         .select("query", "doc_id", F.col("score").alias("ss"))
     merged = kw.join(sem, ["query", "doc_id"], "full").select(
         "query", "doc_id",

@@ -79,6 +79,46 @@ class TestKeywordSearch:
             )
 
 
+class TestServingIndex:
+    def test_prebuilt_vectors_identical_and_skip_corpus_scan(
+            self, spark, docs, tmp_path):
+        """Serving path: doc_vectors written to parquet and reloaded
+        must (a) return identical semantic results and (b) leave no
+        scan of the document text in the scoring plan — the per-call
+        corpus aggregation is gone."""
+        from kgnorm import semsearch
+
+        toks, idf_df, ndf = semsearch.corpus_index(docs)
+        dvec, dnorm = semsearch.doc_vectors(docs, index=(toks, idf_df, ndf))
+        dvec.write.parquet(str(tmp_path / "dvec"))
+        dnorm.write.parquet(str(tmp_path / "dnorm"))
+        idf_df.write.parquet(str(tmp_path / "idf"))
+
+        stored = (
+            toks,  # unused by the semantic leg when vectors are given
+            spark.read.parquet(str(tmp_path / "idf")),
+            ndf,
+        )
+        vectors = (spark.read.parquet(str(tmp_path / "dvec")),
+                   spark.read.parquet(str(tmp_path / "dnorm")))
+        served = semsearch.semantic_search(
+            docs, spark, ["heart failure"], index=stored, vectors=vectors)
+        inline = semsearch.semantic_search(docs, spark, ["heart failure"])
+        key = lambda r: (r.query, r.doc_id, r.score, r.rank)
+        assert sorted(map(key, served.collect())) == \
+            sorted(map(key, inline.collect()))
+
+        plan = served._jdf.queryExecution().optimizedPlan().toString()
+        assert "text" not in plan, "serving plan still scans document text"
+
+        # hybrid passthrough: same results with and without the index
+        h_served = semsearch.hybrid_search(
+            docs, spark, ["heart failure"], vectors=vectors)
+        h_inline = semsearch.hybrid_search(docs, spark, ["heart failure"])
+        assert sorted(map(key, h_served.collect())) == \
+            sorted(map(key, h_inline.collect()))
+
+
 class TestSemanticAndHybrid:
     def test_identical_doc_scores_1(self, spark):
         from kgnorm import semsearch
