@@ -266,6 +266,23 @@ def test_upsert_recovery_completes_partial_swap(spark, tmp_path, monkeypatch):
         _canon(facts_mod.build_facts(all_inputs))
 
 
+def test_upsert_empty_delta_is_noop(spark, tmp_path):
+    """An append carrying no fact inputs (e.g. a micro-batch of turns
+    with no extractable mentions) must leave the stored table
+    byte-identical — no bucket is rewritten, no staging remnant."""
+    import os
+
+    facts_dir = str(tmp_path / "facts")
+    all_inputs = _many_inputs(spark)
+    facts_mod.upsert_facts_parquet(
+        spark, facts_dir, all_inputs.filter(F.col("turn_idx") < 5), n_buckets=8)
+    before = _canon(spark.read.parquet(facts_dir).drop("_bucket"))
+    facts_mod.upsert_facts_parquet(
+        spark, facts_dir, all_inputs.filter(F.lit(False)), n_buckets=8)
+    assert _canon(spark.read.parquet(facts_dir).drop("_bucket")) == before
+    assert not os.path.exists(str(tmp_path / "facts__staging"))
+
+
 def test_upsert_incomplete_staging_discarded(spark, tmp_path):
     """A staging remnant WITHOUT the _SUCCESS marker (crash mid-write)
     is discarded, never swapped into the live table."""
