@@ -944,6 +944,17 @@ def _q_quality_trend(spark, sf_dir):
     return metrics.rolling_trend(m, "mentions_extracted", window_size=10)
 
 
+def _q_quality_trend_prefix(spark, sf_dir):
+    """The w ≫ 100 prefix-sum rolling-trend formulation (r5,
+    metrics.rolling_trend method='prefix' via the auto cutoff):
+    window_size=150 computes each rolling sum as prefix[rn] −
+    prefix[rn−w] over the same range-partition global numbering — 2×
+    input rows at ANY window size instead of the explode plan's w× —
+    oracle-pinned against the direct SQL window average."""
+    m = metrics.per_doc_metrics(_stages(spark, sf_dir)["mentions"])
+    return metrics.rolling_trend(m, "mentions_extracted", window_size=150)
+
+
 def _q_accuracy_prf(spark, sf_dir):
     """Precision/recall/F1 per entity type (quality_metrics.py:350-387):
     pattern-extractor output validated against the dictionary scan as
@@ -3387,6 +3398,13 @@ SELECT conv_id, m AS value,
 FROM pm"""
 
 
+def _oracle_quality_trend_prefix() -> str:
+    return f"""WITH {_turns_cte()}, {_exp_cte()}, {_pm_cte()}
+SELECT conv_id, m AS value,
+       CAST(round(avg(m) OVER (ORDER BY conv_id ROWS BETWEEN 149 PRECEDING AND CURRENT ROW), 6) AS DOUBLE) AS rolling_avg
+FROM pm"""
+
+
 def _oracle_accuracy_prf() -> str:
     pcols = ("tmpl, entity_text, normalized_text, entity_type, start_offset,"
              " end_offset, base_confidence, final_confidence, assertion,"
@@ -4934,6 +4952,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "fact_search": _q_fact_search,
         "concept_relations": _q_concept_relations,
         "quality_trend": _q_quality_trend,
+        "quality_trend_prefix": _q_quality_trend_prefix,
         # --- r3-checked rows ---
         "kg_advanced_mentions": _q_kg_advanced_mentions,
         "risk_scores": _q_risk_scores,
@@ -5031,6 +5050,7 @@ def oracle_sql() -> dict[str, str]:
         "risk_scores": _oracle_risk_scores(),
         "quality_rollup": _oracle_quality_rollup(),
         "quality_trend": _oracle_quality_trend(),
+        "quality_trend_prefix": _oracle_quality_trend_prefix(),
         "accuracy_prf": _oracle_accuracy_prf(),
         "pattern_relations": _oracle_pattern_relations(),
         "treats_edges": _oracle_treats_edges(),
