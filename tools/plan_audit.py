@@ -28,8 +28,9 @@ sys.path.insert(0, os.path.join(REPO, "src"))
 
 # (query, flag) pairs that are analyzed, justified, and pinned by tests
 EXPECTED = {
-    ("quality_trend", "global-window"),    # pid-count offsets, ≤ shuffle-partitions rows
-    ("quality_rollup", "global-window"),   # mention-count histogram, ≤ distinct counts
+    ("quality_trend", "global-window"),         # pid-count offsets, ≤ shuffle-partitions rows
+    ("quality_trend_prefix", "global-window"),  # same pid-count offsets (prefix path)
+    ("quality_rollup", "global-window"),        # mention-count histogram, ≤ distinct counts
 }
 
 
