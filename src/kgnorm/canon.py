@@ -175,15 +175,41 @@ def canonicalize_facts(facts: DataFrame, relationships: DataFrame) -> DataFrame:
     relative to facts), then the same 5-part-key noisy-OR re-aggregation
     as the base fact build, because two facts can collapse onto one
     canonical concept.
+
+    r6 (guide §2.3 "shuffle fewer bytes"): only facts whose concept id
+    PARTICIPATES in the alias mapping — as a rewritten source or as a
+    rewrite target another fact can land on — can ever share a post-
+    rewrite fact key.  ``facts`` is unique on the 5-part fact key (it is
+    a ``build_facts``/``merge_facts`` output — the documented
+    precondition), so every other fact is a singleton group whose
+    aggregate is computable scalar-wise with the arithmetically
+    IDENTICAL expressions (``sum(log(x))`` of one row is ``log(x)``;
+    ``min_by``/``min``/``sum`` of one row are the row) — bit-exact, no
+    shuffle.  The re-aggregation exchange then carries only the affected
+    rows, which are ontology-bounded in share, not turn-bounded.
     """
-    mapping = F.broadcast(canonical_mapping(relationships))
-    rewritten = (
-        facts.join(mapping, facts.omop_concept_id == mapping.concept_id, "left")
+    mapping = canonical_mapping(relationships)
+    cid_type = dict(mapping.dtypes)["canonical_concept_id"]
+    # effects table: source ids (rewritten) + target ids (mergeable-into);
+    # the two sets are disjoint (a canonical target never rewrites)
+    effects = mapping.unionByName(
+        mapping.select(F.col("canonical_concept_id").alias("concept_id"))
+        .distinct()
+        .withColumn("canonical_concept_id", F.lit(None).cast(cid_type))
+    )
+    joined = facts.join(
+        F.broadcast(effects), facts.omop_concept_id == effects.concept_id, "left"
+    )
+    untouched = joined.filter(F.col("concept_id").isNull()).drop(
+        "concept_id", "canonical_concept_id"
+    )
+    touched = (
+        joined.filter(F.col("concept_id").isNotNull())
         .withColumn("omop_concept_id", F.coalesce("canonical_concept_id", "omop_concept_id"))
         .drop("concept_id", "canonical_concept_id")
     )
-    return (
-        rewritten.groupBy("conv_id", "omop_concept_id", "assertion", "temporality", "experiencer")
+    re_agg = (
+        touched.groupBy("conv_id", "omop_concept_id", "assertion", "temporality", "experiencer")
         .agg(
             F.expr("min_by(concept_name, first_turn_idx * 100000000L + first_start_offset)").alias("concept_name"),
             F.expr("min_by(domain, first_turn_idx * 100000000L + first_start_offset)").alias("domain"),
@@ -193,3 +219,10 @@ def canonicalize_facts(facts: DataFrame, relationships: DataFrame) -> DataFrame:
             F.min("first_start_offset").alias("first_start_offset"),
         )
     )
+    passthrough = untouched.select(
+        "conv_id", "omop_concept_id", "assertion", "temporality", "experiencer",
+        "concept_name", "domain",
+        (1.0 - F.exp(F.log(F.greatest(1.0 - F.col("confidence"), F.lit(1e-15))))).alias("confidence"),
+        "evidence_count", "first_turn_idx", "first_start_offset",
+    )
+    return re_agg.unionByName(passthrough)

@@ -22,8 +22,10 @@ by :func:`kgnorm.metrics.text_equality_check`.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.broadcast import Broadcast
 from pyspark.sql import DataFrame, functions as F
@@ -35,6 +37,31 @@ from kgnorm import ac, rules, schemas
 _AUTOMATON_CACHE: dict[int, Any] = {}
 
 _MENTION_COLS = [f.name for f in schemas.MENTIONS.fields]
+# mention-level columns (everything but the conv_id/turn_idx provenance)
+_MENTION_ONLY_COLS = _MENTION_COLS[2:]
+
+
+def _mention_lists(text: str, auto) -> tuple[int, tuple]:
+    """Extract ``text`` once and freeze the result as one plain list per
+    mention column (the memo value): replication across duplicate turns
+    then happens with C-level ``list * n`` instead of a per-row Python
+    append loop (guide §4.2).  Lists, not numpy arrays — building an
+    object array per distinct text measurably penalizes the
+    all-texts-distinct worst case, where every text is a memo miss."""
+    ms = rules.extract_mentions(text, auto)
+    return len(ms), (
+        [m.text for m in ms],
+        [m.start_offset for m in ms],
+        [m.end_offset for m in ms],
+        [m.lexical_variant for m in ms],
+        [m.section for m in ms],
+        [m.assertion for m in ms],
+        [m.temporality for m in ms],
+        [m.experiencer for m in ms],
+        [m.confidence for m in ms],
+        [m.domain_hint for m in ms],
+        [m.omop_concept_id for m in ms],
+    )
 
 
 def _automaton_for(entries: list) -> Any:
@@ -66,54 +93,85 @@ def extract_mentions_df(
 
     def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         auto = None
-        # per-worker memo of text → extracted mentions.  Agent-transcript
-        # corpora repeat turn texts heavily (tool banners, boilerplate,
-        # canned replies); extraction is a pure function of the text, so
-        # each distinct string is scanned once per worker.  Bounded to
-        # keep the worker's footprint flat on high-cardinality corpora.
-        import os as _os
-
-        memo_enabled = not _os.environ.get("KGNORM_NO_MEMO")
-        memo: dict[str, list] = {}
+        # per-worker memo of text → extracted mention arrays.
+        # Agent-transcript corpora repeat turn texts heavily (tool
+        # banners, boilerplate, canned replies); extraction is a pure
+        # function of the text, so each distinct string is scanned once
+        # per worker.  Bounded to keep the worker's footprint flat on
+        # high-cardinality corpora.
+        #
+        # r6 (guide §4.2): the batch is factorized to its distinct
+        # texts; the Python row loop runs only over DISTINCT texts and
+        # the replication back to turn rows is vectorized numpy
+        # (repeat + gather), so duplicate-heavy batches cost
+        # O(distinct · scan + total_mentions · memcpy) instead of a
+        # 50M-iteration append loop.
+        memo_enabled = not os.environ.get("KGNORM_NO_MEMO")
+        memo: dict[str, tuple[int, tuple]] = {}
         memo_cap = 50_000 if memo_enabled else 0
         for batch in batches:
             if auto is None:
                 auto = _automaton_for(dictionary.value)
-            out: dict[str, list] = {c: [] for c in _MENTION_COLS}
-            conv_ids = batch["conv_id"].to_numpy()
-            turn_idxs = batch["turn_idx"].to_numpy()
-            texts = batch["text"].to_numpy()
-            for conv_id, turn_idx, text in zip(conv_ids, turn_idxs, texts):
-                if text is None:
-                    continue
-                mentions = memo.get(text) if memo_enabled else None
-                if mentions is None:
-                    mentions = rules.extract_mentions(text, auto)
+            codes, uniques = pd.factorize(batch["text"], use_na_sentinel=True)
+            blocks: list[tuple[int, tuple]] = []
+            for text in uniques:
+                entry = memo.get(text) if memo_enabled else None
+                if entry is None:
+                    entry = _mention_lists(text, auto)
                     if memo_enabled:
                         if len(memo) >= memo_cap:
                             memo.clear()
-                        memo[text] = mentions
-                for m in mentions:
-                    out["conv_id"].append(conv_id)
-                    out["turn_idx"].append(int(turn_idx))
-                    out["mention_text"].append(m.text)
-                    out["start_offset"].append(m.start_offset)
-                    out["end_offset"].append(m.end_offset)
-                    out["lexical_variant"].append(m.lexical_variant)
-                    out["section"].append(m.section)
-                    out["assertion"].append(m.assertion)
-                    out["temporality"].append(m.temporality)
-                    out["experiencer"].append(m.experiencer)
-                    out["confidence"].append(m.confidence)
-                    out["domain_hint"].append(m.domain_hint)
-                    out["omop_concept_id"].append(m.omop_concept_id)
+                        memo[text] = entry
+                blocks.append(entry)
+            out: dict[str, Any] = {}
+            if blocks:
+                # group the batch's rows by distinct text (output row
+                # order within a partition is free — nothing downstream
+                # is order-sensitive; each turn's mentions stay in
+                # extraction order): per distinct text the mention block
+                # replicates across its rows as one C-level list*n
+                valid = codes >= 0  # None texts are skipped
+                rcodes = codes[valid]
+                order = np.argsort(rcodes, kind="stable")
+                sorted_codes = rcodes[order]
+                lengths = np.fromiter((b[0] for b in blocks), dtype=np.int64,
+                                      count=len(blocks))
+                per_unique_rows = np.bincount(rcodes, minlength=len(blocks))
+                counts = lengths[sorted_codes]
+                out["conv_id"] = np.repeat(
+                    batch["conv_id"].to_numpy()[valid][order], counts)
+                out["turn_idx"] = np.repeat(
+                    batch["turn_idx"].to_numpy()[valid][order], counts)
+                cols: list[list] = [[] for _ in _MENTION_ONLY_COLS]
+                for u, (k, block) in enumerate(blocks):
+                    n_rows = int(per_unique_rows[u])
+                    if n_rows == 0 or k == 0:
+                        continue
+                    for j, vals in enumerate(block):
+                        cols[j].extend(vals * n_rows if n_rows > 1 else vals)
+                for j, name in enumerate(_MENTION_ONLY_COLS):
+                    out[name] = cols[j]
+            else:
+                out["conv_id"] = np.empty(0, dtype=object)
+                out["turn_idx"] = np.empty(0, dtype=np.int64)
+                for name in _MENTION_ONLY_COLS:
+                    out[name] = np.empty(0, dtype=object)
             yield pd.DataFrame(out, columns=_MENTION_COLS)
 
     sel = transcripts.select("conv_id", "turn_idx", "text")
     if num_partitions:
-        # explicit cap (bench scaling legs, job --partitions): strict
-        # hash repartition on conv_id
-        partitioned = sel.repartition(num_partitions, "conv_id")
+        # explicit cap (bench scaling legs, job --partitions).
+        # r6 (guide §2.4): coalesce instead of a hash repartition — the
+        # cap semantics (≤ num_partitions concurrent tasks) hold without
+        # shuffling the text payload, which was the single largest
+        # exchange of the whole pipeline (~190 B/turn of raw text moved
+        # only to be consumed by a stateless per-turn UDF one stage
+        # later).  Synthetic/range inputs are evenly sized, so merging
+        # adjacent partitions stays balanced; conversations remain
+        # contiguous, so downstream map-side partial aggregation
+        # collapses exactly as before.  Inputs with FEWER partitions
+        # than the cap keep their own (coalesce never raises the count).
+        partitioned = sel.coalesce(num_partitions)
     elif sel.isStreaming:
         partitioned = sel.repartition(n, "conv_id")
     else:

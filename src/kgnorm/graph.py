@@ -73,10 +73,18 @@ def _facts_typed(facts: DataFrame) -> DataFrame:
 def first_facts(facts: DataFrame) -> DataFrame:
     """First-evidence fact per (conv_id, node_type, omop_concept_id).
 
-    ONE window serves nodes, edges, AND triples: ``edge_type`` is a
+    ONE aggregation serves nodes, edges, AND triples: ``edge_type`` is a
     bijection of ``node_type`` (both collapse only device→observation),
     so the three dedup groupings are identical partitions.  Checkpoint or
     persist this once and derive all graph outputs as projections.
+
+    r6 note (measured, kept): a ``min_by``-per-column hash-aggregation
+    formulation was benchmarked as the window's replacement and LOST
+    3x (24.6 s vs 8.0 s at 41M facts, local[32]) — string-valued
+    ``min_by`` buffers are not hash-aggregable, so the "hash" plan is a
+    SortAggregate that sorts twice (map + reduce) and evaluates seven
+    aggregate functions per row, vs the window's single sort and one
+    ``row_number``.  The window formulation is the right one here.
     """
     typed = _facts_typed(facts)
     w = Window.partitionBy("conv_id", "node_type", "omop_concept_id").orderBy(
