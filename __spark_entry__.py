@@ -4928,40 +4928,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ORDER = driver-sweep priority (the driver checks the first
-        # ~50 entries per round): the 9 queries whose latest driver
-        # row is r2-era first (r4 verdict #2), then queries whose code
-        # changed this round (incl. the new graph_read), then the
-        # r3-checked rows, then the freshly-r4-checked remainder.
-        # --- r2-era driver rows (stalest) ---
+        # ~50 entries per round).  r6 rotation: the 11 queries whose
+        # latest driver row is r1-r3-era first (r5 verdict #1), then
+        # every query downstream of this round's optimized code
+        # (extraction batch kernel, canonicalize_facts split, graph),
+        # then the r4-checked rows, then the r5-checked remainder.
+        # --- r1-r3-era driver rows (stalest) ---
+        "ccda_conditions": _q_ccda_conditions,
+        "ccda_labs": _q_ccda_labs,
+        "db_source_records": _q_db_source_records,
+        "hl7_conditions": _q_hl7_conditions,
+        "hl7_measurements": _q_hl7_measurements,
+        "kg_candidates": _q_kg_candidates,
+        "kg_mentions": _q_kg_mentions,
+        "lab_causes": _q_lab_causes,
+        "sentence_spans": _q_sentence_spans,
+        "stream_mentions": _q_stream_mentions,
+        "summary_sbar": _q_summary_sbar,
+        # --- downstream of code optimized this round ---
+        "kg_facts": _q_kg_facts,
+        "kg_triples": _q_kg_triples,
+        "kg_domain_counts": _q_kg_domain_counts,
+        "kg_nodes": _q_kg_nodes,
+        "graph_read": _q_graph_read,
+        "facts_incremental": _q_facts_incremental,
+        "stream_facts": _q_stream_facts,
+        "kg_canonical_triples": _q_kg_canonical_triples,
+        "kg_canonical": _q_kg_canonical,
+        "kg_positive_facts": _q_kg_positive_facts,
+        "omop_note_nlp": _q_omop_note_nlp,
+        "kg_ensemble_mentions": _q_kg_ensemble_mentions,
+        "kg_advanced_mentions": _q_kg_advanced_mentions,
+        "kg_mentions_enhanced": _q_kg_mentions_enhanced,
+        "link_cascade": _q_link_cascade,
+        "link_semantic": _q_link_semantic,
+        "ner_mentions": _q_ner_mentions,
+        # --- r4-checked rows ---
+        "summary_critical_combined": _q_summary_critical_combined,
+        "stage_lineage": _q_stage_lineage,
+        "nlp_dictionary": _q_nlp_dictionary,
+        "etl_measurements": _q_etl_measurements,
+        "code_mapping": _q_code_mapping,
+        "drug_interactions": _q_drug_interactions,
+        "interaction_check": _q_interaction_check,
+        "icd10_suggest": _q_icd10_suggest,
+        "cpt_suggest": _q_cpt_suggest,
+        "differential_dx": _q_differential_dx,
+        "doc_gaps": _q_doc_gaps,
+        "doc_gap_rollup": _q_doc_gap_rollup,
+        "billing_bundling": _q_billing_bundling,
+        "billing_necessity": _q_billing_necessity,
+        "kg_drug_interactions": _q_kg_drug_interactions,
+        "safety_contraindications": _q_safety_contraindications,
+        "safety_check": _q_safety_check,
+        "hcc_opportunities": _q_hcc_opportunities,
+        "hcc_raf": _q_hcc_raf,
+        "rank_topk_orders": _q_rank_topk_orders,
+        "dedup_exact": _q_dedup_exact,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "token_stats": _q_token_stats,
+        "fingerprints": _q_fingerprints,
+        "minhash_signatures": _q_minhash_signatures,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "simhash": _q_simhash,
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "clinical_values": _q_clinical_values,
+        "lab_interpret": _q_lab_interpret,
+        "pattern_entities": _q_pattern_entities,
+        # --- r5-checked (freshest) ---
         "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
         "events_tumbling": _q_events_tumbling,
         "events_sessionize": _q_events_sessionize,
         "normalize_terms": _q_normalize_terms,
         "kg_relations": _q_kg_relations,
-        "kg_ensemble_mentions": _q_kg_ensemble_mentions,
         "fhir_export": _q_fhir_export,
-        "kg_mentions_enhanced": _q_kg_mentions_enhanced,
-        # --- changed or new this round ---
-        "graph_read": _q_graph_read,
-        "stream_facts": _q_stream_facts,
         "search_keyword": _q_search_keyword,
         "search_hybrid": _q_search_hybrid,
         "qa_answers": _q_qa_answers,
-        "facts_incremental": _q_facts_incremental,
         "fact_search": _q_fact_search,
         "concept_relations": _q_concept_relations,
         "quality_trend": _q_quality_trend,
         "quality_trend_prefix": _q_quality_trend_prefix,
-        # --- r3-checked rows ---
-        "kg_advanced_mentions": _q_kg_advanced_mentions,
         "risk_scores": _q_risk_scores,
         "quality_rollup": _q_quality_rollup,
         "accuracy_prf": _q_accuracy_prf,
         "pattern_relations": _q_pattern_relations,
         "treats_edges": _q_treats_edges,
-        "kg_canonical_triples": _q_kg_canonical_triples,
-        "kg_positive_facts": _q_kg_positive_facts,
         "pricing_summary": _q_pricing_summary,
         "customer_order_stats": _q_customer_order_stats,
         "source_records_csv": _q_source_records_csv,
@@ -4985,62 +5042,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "report_clinical": _q_report_clinical,
         "report_extraction": _q_report_extraction,
         "athena_concepts": _q_athena_concepts,
-        "lab_causes": _q_lab_causes,
-        "hl7_conditions": _q_hl7_conditions,
-        "hl7_measurements": _q_hl7_measurements,
-        "ccda_conditions": _q_ccda_conditions,
-        "ccda_labs": _q_ccda_labs,
-        "db_source_records": _q_db_source_records,
-        "sentence_spans": _q_sentence_spans,
-        "summary_sbar": _q_summary_sbar,
-        "stream_mentions": _q_stream_mentions,
-        "kg_mentions": _q_kg_mentions,
-        "kg_candidates": _q_kg_candidates,
-        # --- r4-checked (freshest) ---
-        "summary_critical_combined": _q_summary_critical_combined,
-        "stage_lineage": _q_stage_lineage,
-        "nlp_dictionary": _q_nlp_dictionary,
-        "etl_measurements": _q_etl_measurements,
-        "ner_mentions": _q_ner_mentions,
-        "kg_facts": _q_kg_facts,
-        "kg_triples": _q_kg_triples,
-        "kg_domain_counts": _q_kg_domain_counts,
-        "kg_nodes": _q_kg_nodes,
-        "omop_note_nlp": _q_omop_note_nlp,
-        "link_cascade": _q_link_cascade,
-        "link_semantic": _q_link_semantic,
-        "code_mapping": _q_code_mapping,
-        "drug_interactions": _q_drug_interactions,
-        "interaction_check": _q_interaction_check,
-        "icd10_suggest": _q_icd10_suggest,
-        "cpt_suggest": _q_cpt_suggest,
-        "differential_dx": _q_differential_dx,
-        "doc_gaps": _q_doc_gaps,
-        "doc_gap_rollup": _q_doc_gap_rollup,
-        "billing_bundling": _q_billing_bundling,
-        "billing_necessity": _q_billing_necessity,
-        "kg_drug_interactions": _q_kg_drug_interactions,
-        "safety_contraindications": _q_safety_contraindications,
-        "safety_check": _q_safety_check,
-        "hcc_opportunities": _q_hcc_opportunities,
-        "hcc_raf": _q_hcc_raf,
-        "kg_canonical": _q_kg_canonical,
-        "rank_topk_orders": _q_rank_topk_orders,
-        "dedup_exact": _q_dedup_exact,
-        "text_quality": _q_text_quality,
-        "lang_id": _q_lang_id,
-        "token_stats": _q_token_stats,
-        "fingerprints": _q_fingerprints,
-        "minhash_signatures": _q_minhash_signatures,
-        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "simhash": _q_simhash,
-        "cosine_topk": _q_cosine_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "embedding_dup_pairs": _q_embedding_dup_pairs,
-        "clinical_values": _q_clinical_values,
-        "lab_interpret": _q_lab_interpret,
-        "pattern_entities": _q_pattern_entities,
     }
 
 
