@@ -196,7 +196,6 @@ def ensemble_mentions_df(transcripts, dictionary, num_partitions: int | None = N
     from kgnorm.extract import _automaton_for
 
     spark = transcripts.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
     def batch_fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         auto = None
@@ -228,5 +227,13 @@ def ensemble_mentions_df(transcripts, dictionary, num_partitions: int | None = N
                     out["confidence"].append(m.confidence)
             yield pd.DataFrame(out, columns=ENSEMBLE_COLS)
 
-    partitioned = transcripts.select("conv_id", "turn_idx", "text").repartition(n, "conv_id")
+    sel = transcripts.select("conv_id", "turn_idx", "text")
+    # r6 (guide §2.4/§8, same treatment as kgnorm.extract): an explicit
+    # num_partitions caps parallelism via coalesce (no text shuffle);
+    # otherwise the AQE REBALANCE hint balances arbitrary inputs without
+    # a strict full-width hash exchange of the turn text.
+    if num_partitions:
+        partitioned = sel.coalesce(num_partitions)
+    else:
+        partitioned = sel.hint("rebalance", "conv_id")
     return partitioned.mapInPandas(batch_fn, schema=ENSEMBLE_SCHEMA)

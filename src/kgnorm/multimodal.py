@@ -94,7 +94,13 @@ def extract_features(media: DataFrame, fake: bool = False, batch_size: int = 256
                 out["feature"].append(feat)
             yield pd.DataFrame(out)
 
-    return media.repartition("media_id").mapInPandas(run, schema=FEATURE_SCHEMA)
+    # r6 (guide §8): no repartition — it shuffled the full BINARY payload
+    # only to feed a stateless per-item decoder.  A storage scan is
+    # already split by bytes (spark.sql.files.maxPartitionBytes), which
+    # is exactly the right balance key for opaque payloads; the decoder
+    # needs no co-location, and downstream aggregations re-shuffle the
+    # (tiny) feature rows, never the bytes.
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, fps: float = 1.0, duration_bytes_per_sec: int = 10) -> DataFrame:

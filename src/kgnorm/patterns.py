@@ -408,7 +408,6 @@ def pattern_entities_df(transcripts, num_partitions: int | None = None):
     import pandas as pd
 
     spark = transcripts.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
     def batch_fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         memo: dict[str, list[PatternEntity]] = {}
@@ -441,5 +440,13 @@ def pattern_entities_df(transcripts, num_partitions: int | None = None):
                     out["unit"].append(e.unit)
             yield pd.DataFrame(out, columns=PATTERN_ENTITY_COLS)
 
-    partitioned = transcripts.select("conv_id", "turn_idx", "text").repartition(n, "conv_id")
+    sel = transcripts.select("conv_id", "turn_idx", "text")
+    # r6 (guide §2.4/§8, same treatment as kgnorm.extract): an explicit
+    # num_partitions caps parallelism via coalesce (no text shuffle);
+    # otherwise the AQE REBALANCE hint balances arbitrary inputs without
+    # a strict full-width hash exchange of the turn text.
+    if num_partitions:
+        partitioned = sel.coalesce(num_partitions)
+    else:
+        partitioned = sel.hint("rebalance", "conv_id")
     return partitioned.mapInPandas(batch_fn, schema=PATTERN_ENTITIES_SCHEMA)
