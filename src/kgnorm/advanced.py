@@ -265,42 +265,38 @@ def enhanced_mentions_df(transcripts, dictionary, num_partitions: int | None = N
     tables_bc = spark.sparkContext.broadcast(_load_tables())
 
     def batch_fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from kgnorm.extract import factorized_batch_assemble, transpose_rows
+
         auto = None
         tables = None
-        memo: dict[str, list] = {}
+        memo: dict[str, tuple] = {}
+
+        def block_for(text):
+            entry = memo.get(text)
+            if entry is None:
+                rows = []
+                for m in rules.extract_mentions(text, auto):
+                    e = enhance(text, m.text, m.start_offset, m.end_offset, tables)
+                    assertion = "absent" if e.negated else m.assertion
+                    rows.append((
+                        m.text, m.start_offset, m.end_offset, assertion,
+                        m.domain_hint, int(m.omop_concept_id or 0),
+                        e.disambiguated_term, e.disambiguation_context,
+                        e.negated, e.negation_trigger,
+                        e.linked_modifier, e.compound_condition_text,
+                        e.base_condition, e.laterality, e.laterality_text,
+                    ))
+                entry = transpose_rows(rows, len(ENHANCED_COLS) - 2)
+                if len(memo) >= 50_000:
+                    memo.clear()
+                memo[text] = entry
+            return entry
+
         for batch in batches:
             if auto is None:
                 auto = _automaton_for(dictionary.value)
                 tables = compile_tables(tables_bc.value)
-            out: dict[str, list] = {c: [] for c in ENHANCED_COLS}
-            for conv_id, turn_idx, text in zip(
-                batch["conv_id"].to_numpy(), batch["turn_idx"].to_numpy(), batch["text"].to_numpy()
-            ):
-                if text is None:
-                    continue
-                rows = memo.get(text)
-                if rows is None:
-                    rows = []
-                    for m in rules.extract_mentions(text, auto):
-                        e = enhance(text, m.text, m.start_offset, m.end_offset, tables)
-                        assertion = "absent" if e.negated else m.assertion
-                        rows.append((
-                            m.text, m.start_offset, m.end_offset, assertion,
-                            m.domain_hint, int(m.omop_concept_id or 0),
-                            e.disambiguated_term, e.disambiguation_context,
-                            e.negated, e.negation_trigger,
-                            e.linked_modifier, e.compound_condition_text,
-                            e.base_condition, e.laterality, e.laterality_text,
-                        ))
-                    if len(memo) >= 50_000:
-                        memo.clear()
-                    memo[text] = rows
-                for r in rows:
-                    out["conv_id"].append(conv_id)
-                    out["turn_idx"].append(int(turn_idx))
-                    for col, val in zip(ENHANCED_COLS[2:], r):
-                        out[col].append(val)
-            yield pd.DataFrame(out, columns=ENHANCED_COLS)
+            yield factorized_batch_assemble(batch, ENHANCED_COLS, block_for)
 
     sel = transcripts.select("conv_id", "turn_idx", "text")
     # r6 (guide §2.4/§8, same treatment as kgnorm.extract): an explicit

@@ -198,34 +198,29 @@ def ensemble_mentions_df(transcripts, dictionary, num_partitions: int | None = N
     spark = transcripts.sparkSession
 
     def batch_fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from kgnorm.extract import factorized_batch_assemble, transpose_rows
+
         auto = None
-        memo: dict[str, list[EnsembleMention]] = {}
+        memo: dict[str, tuple] = {}
+
+        def block_for(text):
+            entry = memo.get(text)
+            if entry is None:
+                rows = [
+                    (m.source, m.text, m.lexical_variant, m.start_offset,
+                     m.end_offset, m.domain, m.confidence)
+                    for m in ensemble_for_text(text, auto)
+                ]
+                entry = transpose_rows(rows, len(ENSEMBLE_COLS) - 2)
+                if len(memo) >= 50_000:
+                    memo.clear()
+                memo[text] = entry
+            return entry
+
         for batch in batches:
             if auto is None:
                 auto = _automaton_for(dictionary.value)
-            out: dict[str, list] = {c: [] for c in ENSEMBLE_COLS}
-            for conv_id, turn_idx, text in zip(
-                batch["conv_id"].to_numpy(), batch["turn_idx"].to_numpy(), batch["text"].to_numpy()
-            ):
-                if text is None:
-                    continue
-                ms = memo.get(text)
-                if ms is None:
-                    ms = ensemble_for_text(text, auto)
-                    if len(memo) >= 50_000:
-                        memo.clear()
-                    memo[text] = ms
-                for m in ms:
-                    out["conv_id"].append(conv_id)
-                    out["turn_idx"].append(int(turn_idx))
-                    out["source"].append(m.source)
-                    out["mention_text"].append(m.text)
-                    out["lexical_variant"].append(m.lexical_variant)
-                    out["start_offset"].append(m.start_offset)
-                    out["end_offset"].append(m.end_offset)
-                    out["domain"].append(m.domain)
-                    out["confidence"].append(m.confidence)
-            yield pd.DataFrame(out, columns=ENSEMBLE_COLS)
+            yield factorized_batch_assemble(batch, ENSEMBLE_COLS, block_for)
 
     sel = transcripts.select("conv_id", "turn_idx", "text")
     # r6 (guide §2.4/§8, same treatment as kgnorm.extract): an explicit

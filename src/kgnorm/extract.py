@@ -41,6 +41,57 @@ _MENTION_COLS = [f.name for f in schemas.MENTIONS.fields]
 _MENTION_ONLY_COLS = _MENTION_COLS[2:]
 
 
+def transpose_rows(rows: list[tuple], n_cols: int) -> tuple[int, tuple]:
+    """Row-tuples → (row_count, tuple of per-column lists) — the memo
+    block format :func:`factorized_batch_assemble` replicates."""
+    if not rows:
+        return 0, tuple([] for _ in range(n_cols))
+    return len(rows), tuple(list(c) for c in zip(*rows))
+
+
+def factorized_batch_assemble(batch, all_cols: list[str], block_for) -> pd.DataFrame:
+    """Shared r6 batch assembly for per-turn text kernels (guide §4.2).
+
+    Factorizes ``batch['text']`` to its distinct texts, calls
+    ``block_for(text) -> (k, tuple of per-column lists)`` once per
+    DISTINCT text (callers memoize inside ``block_for``), and replicates
+    each block across that text's turn rows — C-level ``list * n`` for
+    the payload columns plus ``np.repeat`` for the provenance columns,
+    no per-row Python loop.  Output rows are grouped by distinct text;
+    each turn's rows keep the block's order.  ``all_cols`` must start
+    with the two provenance columns ``conv_id, turn_idx``; None texts
+    are skipped.
+    """
+    codes, uniques = pd.factorize(batch["text"], use_na_sentinel=True)
+    blocks = [block_for(t) for t in uniques]
+    out: dict[str, Any] = {}
+    if blocks:
+        valid = codes >= 0
+        rcodes = codes[valid]
+        order = np.argsort(rcodes, kind="stable")
+        lengths = np.fromiter((b[0] for b in blocks), dtype=np.int64,
+                              count=len(blocks))
+        per_unique_rows = np.bincount(rcodes, minlength=len(blocks))
+        counts = lengths[rcodes[order]]
+        out[all_cols[0]] = np.repeat(batch["conv_id"].to_numpy()[valid][order], counts)
+        out[all_cols[1]] = np.repeat(batch["turn_idx"].to_numpy()[valid][order], counts)
+        cols: list[list] = [[] for _ in all_cols[2:]]
+        for u, (k, block) in enumerate(blocks):
+            n_rows = int(per_unique_rows[u])
+            if n_rows == 0 or k == 0:
+                continue
+            for j, vals in enumerate(block):
+                cols[j].extend(vals * n_rows if n_rows > 1 else vals)
+        for j, name in enumerate(all_cols[2:]):
+            out[name] = cols[j]
+    else:
+        out[all_cols[0]] = np.empty(0, dtype=object)
+        out[all_cols[1]] = np.empty(0, dtype=np.int64)
+        for name in all_cols[2:]:
+            out[name] = np.empty(0, dtype=object)
+    return pd.DataFrame(out, columns=all_cols)
+
+
 def _mention_lists(text: str, auto) -> tuple[int, tuple]:
     """Extract ``text`` once and freeze the result as one plain list per
     mention column (the memo value): replication across duplicate turns
@@ -109,54 +160,20 @@ def extract_mentions_df(
         memo_enabled = not os.environ.get("KGNORM_NO_MEMO")
         memo: dict[str, tuple[int, tuple]] = {}
         memo_cap = 50_000 if memo_enabled else 0
+        def block_for(text):
+            entry = memo.get(text) if memo_enabled else None
+            if entry is None:
+                entry = _mention_lists(text, auto)
+                if memo_enabled:
+                    if len(memo) >= memo_cap:
+                        memo.clear()
+                    memo[text] = entry
+            return entry
+
         for batch in batches:
             if auto is None:
                 auto = _automaton_for(dictionary.value)
-            codes, uniques = pd.factorize(batch["text"], use_na_sentinel=True)
-            blocks: list[tuple[int, tuple]] = []
-            for text in uniques:
-                entry = memo.get(text) if memo_enabled else None
-                if entry is None:
-                    entry = _mention_lists(text, auto)
-                    if memo_enabled:
-                        if len(memo) >= memo_cap:
-                            memo.clear()
-                        memo[text] = entry
-                blocks.append(entry)
-            out: dict[str, Any] = {}
-            if blocks:
-                # group the batch's rows by distinct text (output row
-                # order within a partition is free — nothing downstream
-                # is order-sensitive; each turn's mentions stay in
-                # extraction order): per distinct text the mention block
-                # replicates across its rows as one C-level list*n
-                valid = codes >= 0  # None texts are skipped
-                rcodes = codes[valid]
-                order = np.argsort(rcodes, kind="stable")
-                sorted_codes = rcodes[order]
-                lengths = np.fromiter((b[0] for b in blocks), dtype=np.int64,
-                                      count=len(blocks))
-                per_unique_rows = np.bincount(rcodes, minlength=len(blocks))
-                counts = lengths[sorted_codes]
-                out["conv_id"] = np.repeat(
-                    batch["conv_id"].to_numpy()[valid][order], counts)
-                out["turn_idx"] = np.repeat(
-                    batch["turn_idx"].to_numpy()[valid][order], counts)
-                cols: list[list] = [[] for _ in _MENTION_ONLY_COLS]
-                for u, (k, block) in enumerate(blocks):
-                    n_rows = int(per_unique_rows[u])
-                    if n_rows == 0 or k == 0:
-                        continue
-                    for j, vals in enumerate(block):
-                        cols[j].extend(vals * n_rows if n_rows > 1 else vals)
-                for j, name in enumerate(_MENTION_ONLY_COLS):
-                    out[name] = cols[j]
-            else:
-                out["conv_id"] = np.empty(0, dtype=object)
-                out["turn_idx"] = np.empty(0, dtype=np.int64)
-                for name in _MENTION_ONLY_COLS:
-                    out[name] = np.empty(0, dtype=object)
-            yield pd.DataFrame(out, columns=_MENTION_COLS)
+            yield factorized_batch_assemble(batch, _MENTION_COLS, block_for)
 
     sel = transcripts.select("conv_id", "turn_idx", "text")
     if num_partitions:

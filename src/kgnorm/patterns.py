@@ -410,35 +410,27 @@ def pattern_entities_df(transcripts, num_partitions: int | None = None):
     spark = transcripts.sparkSession
 
     def batch_fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        memo: dict[str, list[PatternEntity]] = {}
+        from kgnorm.extract import factorized_batch_assemble, transpose_rows
+
+        memo: dict[str, tuple] = {}
+
+        def block_for(text):
+            entry = memo.get(text)
+            if entry is None:
+                rows = [
+                    (e.text, e.normalized_text, e.entity_type, e.start_offset,
+                     e.end_offset, e.base_confidence, e.final_confidence,
+                     e.assertion, e.section, e.value, e.unit)
+                    for e in pipeline_entities(text)
+                ]
+                entry = transpose_rows(rows, len(PATTERN_ENTITY_COLS) - 2)
+                if len(memo) >= 50_000:
+                    memo.clear()
+                memo[text] = entry
+            return entry
+
         for batch in batches:
-            out: dict[str, list] = {c: [] for c in PATTERN_ENTITY_COLS}
-            for conv_id, turn_idx, text in zip(
-                batch["conv_id"].to_numpy(), batch["turn_idx"].to_numpy(), batch["text"].to_numpy()
-            ):
-                if text is None:
-                    continue
-                ents = memo.get(text)
-                if ents is None:
-                    ents = pipeline_entities(text)
-                    if len(memo) >= 50_000:
-                        memo.clear()
-                    memo[text] = ents
-                for e in ents:
-                    out["conv_id"].append(conv_id)
-                    out["turn_idx"].append(int(turn_idx))
-                    out["entity_text"].append(e.text)
-                    out["normalized_text"].append(e.normalized_text)
-                    out["entity_type"].append(e.entity_type)
-                    out["start_offset"].append(e.start_offset)
-                    out["end_offset"].append(e.end_offset)
-                    out["base_confidence"].append(e.base_confidence)
-                    out["final_confidence"].append(e.final_confidence)
-                    out["assertion"].append(e.assertion)
-                    out["section"].append(e.section)
-                    out["value"].append(e.value)
-                    out["unit"].append(e.unit)
-            yield pd.DataFrame(out, columns=PATTERN_ENTITY_COLS)
+            yield factorized_batch_assemble(batch, PATTERN_ENTITY_COLS, block_for)
 
     sel = transcripts.select("conv_id", "turn_idx", "text")
     # r6 (guide §2.4/§8, same treatment as kgnorm.extract): an explicit
