@@ -90,8 +90,14 @@ def synth_transcripts(
         text = F.when(is_hot, F.element_at(tarr, F.lit(hot_template + 1))).otherwise(text)
     if unique_texts:
         text = F.concat(text, F.lit(" Ref C"), F.col("id").cast("string"), F.lit("."))
+    # r6: 2 partitions per core (range default is 1) — since extraction
+    # consumes this table shuffle-free (coalesce cap instead of a
+    # repartition), the scan partitioning IS the extraction stage's task
+    # granularity, and 2 waves per core absorbs stragglers on a noisy
+    # host.  Row content is unchanged (row i is always the same turn).
+    n_parts = max(2, spark.sparkContext.defaultParallelism * 2)
     return (
-        spark.range(n_turns)
+        spark.range(0, n_turns, 1, n_parts)
         .select(
             F.concat(F.lit("C"), F.lpad((F.col("id") / turns_per_conv).cast("long").cast("string"), 8, "0")).alias("conv_id"),
             F.pmod(F.col("id"), F.lit(turns_per_conv)).cast("int").alias("turn_idx"),
