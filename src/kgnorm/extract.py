@@ -1,13 +1,18 @@
 """Mention extraction stage: transcripts → mentions.
 
-Spark plan::
+Spark plan (r6)::
 
     transcripts
-      .repartition(N, conv_id)          # explicit partitioning (north rule);
-                                        # co-locates a conversation's turns and
-                                        # spreads work evenly before the UDF
-      .mapInPandas(extract_batch)       # Arrow-batched; per batch: AC scan +
-                                        # section parse + context rules
+      .coalesce(N) / REBALANCE hint     # parallelism cap WITHOUT shuffling
+                                        # the raw text (stateless per-turn
+                                        # UDF needs no co-location); default
+                                        # path keeps the AQE rebalance for
+                                        # arbitrary, possibly skewed inputs
+      .mapInPandas(extract_batch)       # Arrow-batched; factorized to
+                                        # distinct texts per batch: AC scan +
+                                        # section parse + context rules once
+                                        # per distinct text, vectorized
+                                        # replication back to turn rows
       → mentions (one row per mention, provenance (conv_id, turn_idx))
 
 The dictionary travels as a Spark broadcast (list of AC entries); each
@@ -136,8 +141,11 @@ def extract_mentions_df(
         transcripts: DataFrame with the TRANSCRIPTS schema.
         dictionary: broadcast list of AC entries from
             :func:`kgnorm.ontology.broadcast_dictionary`.
-        num_partitions: explicit partition count for the pre-UDF
-            repartition; defaults to ``spark.sql.shuffle.partitions``.
+        num_partitions: explicit CAP on the extraction stage's
+            parallelism, applied with ``coalesce`` (no shuffle; the
+            input keeps its own count when lower).  Default: the AQE
+            ``REBALANCE(conv_id)`` path at
+            ``spark.sql.shuffle.partitions``.
     """
     spark = transcripts.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))

@@ -4,7 +4,7 @@ One Spark job replaces the reference's API→Redis→RQ-worker→Postgres
 round-trip loop (jobs/document_processing.py:92-310, SURVEY §3.1)::
 
     read transcripts
-      → extract   (repartition(conv_id) + broadcast-AC Arrow UDF)
+      → extract   (shuffle-free partition cap + broadcast-AC Arrow UDF)
       → link      (broadcast dictionary direct path + tiered cascade)
       → facts     (5-part-key noisy-OR hash agg)
       → canon     (optional: Maps-to closure via hash-min CC)
